@@ -1,0 +1,192 @@
+package graft.build
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.analyze.{Analyzers, TextAnalyzer, KeywordAnalyzer}
+import graft.codec.PostingCodec
+import graft.model.Posting
+import graft.query.Bm25
+
+/** Index layout + build configuration.
+  *
+  * Layout decisions vs the reference (SURVEY.md §1.3):
+  *  - postings are doc-range CHUNKED (chunk = docId / chunkDocs) and
+  *    term-hash BUCKETED (bucket = hash(term) % buckets). The bucket is the
+  *    partition column — the analog of Poseidon's FileId = hash(TokenId)%1000
+  *    sharding (docs/build_inverted_index.md:78-87) and gives query-time
+  *    partition pruning; the chunk is the salt of the two-phase merge AND the
+  *    unit of distributed intersection: every group is bounded by chunkDocs,
+  *    so a stopword term at 10^12 turns becomes many parallel chunks instead
+  *    of one 10^12-entry group (the reference instead CAPS lists at 1e6 and
+  *    loses recall, ReduceGroupData.java:104-128 — we keep recall).
+  *  - docstore = plain columnar Parquet sorted by docId (rowgroup min/max
+  *    prune hit fetches); replaces DocGz blocks + DocGzMeta KV
+  *    (poseidon_if.proto:9-17).
+  */
+final case class IndexConfig(
+    buckets: Int = 16,
+    chunkDocs: Long = 1L << 16,
+    blockSize: Int = PostingCodec.DefaultBlockSize,
+    bucketGroups: Int = 1,
+    docIdPartitions: Int = 0)
+
+final case class IndexManifest(
+    buildId: String,
+    numDocs: Long,
+    buckets: Int,
+    chunkDocs: Long,
+    blockSize: Int,
+    avgdl: Map[String, Double])
+
+object IndexBuilder {
+
+  /** Term -> shard bucket. String.hashCode is JVM-spec-stable; stands in for
+    * the reference's murmur3 HashId (LogParser.java:26-31). */
+  def bucketOf(term: String, buckets: Int): Int = (term.hashCode & 0x7fffffff) % buckets
+
+  val Fields: Seq[String] = Seq("text", "role", "tool")
+
+  /** Per-(field, doc) token arrays for one field. */
+  private def fieldTokens(field: String) = field match {
+    case "text" => TextAnalyzer.tokensCol(col("text"))
+    case f => KeywordAnalyzer.tokensCol(col(f))
+  }
+
+  /** (field, term, docId, tf, dl) — the analog of the reference mapper's
+    * intermediate row (LogParser.java:21-53), with tf pre-counted per doc and
+    * dl (per-field doc length) carried for local scoring. */
+  def termOccs(docs: DataFrame): DataFrame = {
+    Fields.map { f =>
+      docs.select(col("docId"), fieldTokens(f).as("toks"))
+        .select(col("docId"), explode(col("toks")).as("term"), size(col("toks")).as("dl"))
+        .groupBy(col("docId"), col("term"), col("dl"))
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .select(lit(f).as("field"), col("term"), col("docId"), col("tf"), col("dl"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Per-field avgdl over ALL docs (zero-token docs included — the oracle
+    * uses the same definition). */
+  def corpusAvgdl(docs: DataFrame): Map[String, Double] = {
+    val aggs = Fields.map(f => avg(size(fieldTokens(f))).as(f))
+    val row = docs.select(aggs: _*).collect()(0)
+    Fields.zipWithIndex.map { case (f, i) => f -> row.getDouble(i) }.toMap
+  }
+
+  /** Full build: docIds -> docstore + postings + termstats + manifest.
+    * Resumable: bucket-group g is skipped when its manifest part exists
+    * (kill/rerun produces identical index content — ResumeSpec).
+    */
+  def build(spark: SparkSession, turns: DataFrame, dir: String,
+            cfg: IndexConfig = IndexConfig()): IndexManifest = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestDir = new Path(dir, "_manifest")
+    fs.mkdirs(manifestDir)
+
+    val docs = DocIds.assign(turns, cfg.docIdPartitions).persist(StorageLevel.MEMORY_AND_DISK)
+    val numDocs = docs.count()
+    val avgdl = corpusAvgdl(docs)
+    val buildId = f"build-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d"
+
+    // docstore: sorted by docId => parquet min/max rowgroup pruning on fetch
+    if (!fs.exists(new Path(dir, "docstore/_SUCCESS"))) {
+      docs.orderBy("docId")
+        .write.mode("overwrite").parquet(s"$dir/docstore")
+    }
+
+    val bucketU = udf((t: String) => bucketOf(t, cfg.buckets))
+    val occs = termOccs(docs)
+      .withColumn("bucket", bucketU(col("term")))
+      .withColumn("chunk", (col("docId") / cfg.chunkDocs).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // header stats: df (uv) + pv per term, reference header semantics
+    // (InvertedIndexGenerateReducer.java:390-395)
+    val stats = occs.groupBy("field", "term", "bucket")
+      .agg(count(lit(1)).as("df"), sum("tf").as("pv"))
+
+    val postingUdaf = udaf(PostingAgg)
+    val grouped = occs.groupBy("field", "term", "bucket", "chunk")
+      .agg(postingUdaf(col("docId"), col("tf"), col("dl")).as("p"))
+      .join(stats.select("field", "term", "df"), Seq("field", "term"))
+
+    val n = numDocs
+    val avgdlB = spark.sparkContext.broadcast(avgdl)
+    val blockSize = cfg.blockSize
+    val encodeU = udf((docIds: Seq[Long], tfs: Seq[Int], dls: Seq[Int], df: Long, field: String) => {
+      val idf = Bm25.idf(n, df)
+      val avg = avgdlB.value(field)
+      val arr = new Array[Posting](docIds.length)
+      var i = 0
+      while (i < arr.length) { arr(i) = Posting(docIds(i), tfs(i), dls(i)); i += 1 }
+      PostingCodec.encode(arr, (tf, dl) => Bm25.contribution(tf, dl, idf, avg), blockSize)
+    })
+
+    val postingRows = grouped.select(
+      col("field"), col("term"), col("bucket"), col("chunk"),
+      size(col("p.docIds")).cast("long").as("dfChunk"),
+      encodeU(col("p.docIds"), col("p.tfs"), col("p.dls"), col("df"), col("field")).as("blob"))
+
+    val groups = math.max(1, cfg.bucketGroups)
+    (0 until groups).foreach { g =>
+      val done = new Path(manifestDir, s"group-$g.json")
+      if (!fs.exists(done)) {
+        val t0 = System.nanoTime()
+        val part = postingRows.filter(col("bucket") % groups === g)
+          .repartition(col("bucket"))
+          .sortWithinPartitions("field", "term", "chunk")
+        part.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+        stats.filter(col("bucket") % groups === g)
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        // lineage + metrics per completed group, written atomically (tmp+rename)
+        val tmp = new Path(manifestDir, s".group-$g.json.tmp")
+        val out = fs.create(tmp, true)
+        out.write(
+          s"""{"buildId":"$buildId","group":$g,"groups":$groups,"wallMs":$wallMs,"finishedAt":"${java.time.Instant.now()}"}"""
+            .getBytes("UTF-8"))
+        out.close()
+        fs.rename(tmp, done)
+      }
+    }
+
+    val manifest = IndexManifest(buildId, numDocs, cfg.buckets, cfg.chunkDocs, cfg.blockSize, avgdl)
+    writeManifest(fs, new Path(manifestDir, "core.json"), manifest)
+    occs.unpersist(); docs.unpersist()
+    manifest
+  }
+
+  def writeManifest(fs: org.apache.hadoop.fs.FileSystem, p: Path, m: IndexManifest): Unit = {
+    val avg = m.avgdl.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"buildId":"${m.buildId}","numDocs":${m.numDocs},"buckets":${m.buckets},"chunkDocs":${m.chunkDocs},"blockSize":${m.blockSize},"avgdl":$avg}"""
+    val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  def readManifest(spark: SparkSession, dir: String): IndexManifest = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir, "_manifest/core.json")
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    val s = new String(bytes, "UTF-8")
+    def longOf(k: String): Long = s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    def strOf(k: String): String = (s"""\"$k\":\"([^\"]*)\"""").r.findFirstMatchIn(s).get.group(1)
+    val avg = """"(\w+)":([0-9.Ee+-]+)""".r.findAllMatchIn(
+      s.substring(s.indexOf("\"avgdl\":") + 8)).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    IndexManifest(strOf("buildId"), longOf("numDocs"), longOf("buckets").toInt,
+      longOf("chunkDocs"), longOf("blockSize").toInt, avg)
+  }
+}

@@ -1,0 +1,238 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Analyzers
+import graft.build.IndexBuilder
+import graft.codec.PostingCodec
+import graft.model.CorpusStats
+
+/** A parsed search: ordered unique (field, term) pairs ANDed together —
+  * the reference's `keywords{field: "tok1\ttok2..."}` request surface
+  * (service/searcher/module/poseidon.go:61-106, docs/get_started.md:139-158)
+  * — plus top-k size. Scoring sums per-term BM25 contributions in the pairs'
+  * order (FP-stable vs the oracle).
+  */
+final case class SearchQuery(terms: Seq[(String, String)], k: Int)
+
+object SearchQuery {
+  /** Build from a field->tokens map. Each keyword is run through the field's
+    * own analyzer (so a query token matches index terms — the reference
+    * likewise lowercases/normalizes query tokens with the index-side rules,
+    * inverted_index_gz_client.go:39-45) and may expand to several ANDed
+    * terms (e.g. `needle-000002` -> `needle` AND `000002`). Duplicates are
+    * dropped, first-occurrence order preserved (scoring order).
+    */
+  def of(keywords: Seq[(String, Seq[String])], k: Int): SearchQuery = {
+    val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    keywords.foreach { case (f, ts) =>
+      val analyzer = Analyzers.byField.getOrElse(f, graft.analyze.KeywordAnalyzer)
+      ts.foreach { t =>
+        val expanded = analyzer.tokens(Analyzers.normalizeQueryTerm(t))
+        expanded.foreach(term => seen += ((f, term)))
+      }
+    }
+    SearchQuery(seen.toSeq, k)
+  }
+}
+
+/** pv/uv/total per the reference's response stats (module/poseidon.go:125-131):
+  * single keyword -> header (pv, uv); multi -> |intersection| for all three. */
+final case class SearchStats(total: Long, pv: Long, uv: Long)
+
+/** Distributed BM25 top-k over the chunked/bucketed posting table.
+  *
+  * Query DAG (SURVEY.md §3.2 rebuild):
+  *   termstats lookup (bucket partition-pruned, tiny)            — job 1
+  *   postings scan (bucket-pruned, term-filtered)                 \
+  *     -> shuffle by chunk (only the query terms' postings move)   } job 2
+  *     -> per-chunk conjunctive DAAT + block-max skip -> local k  /
+  *     -> global top-k (TakeOrderedAndProject tree-reduce)
+  *   docstore fetch: docId IN (hits) pushdown + broadcast join    — job 3
+  *
+  * Replaces the reference's searcher/meta/hdfsreader HTTP fan-out
+  * (inverted_index_gz_client.go:152-202, doc_gz_client.go:118-232) with
+  * exactly two exchanges.
+  */
+class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable {
+
+  val manifest = IndexBuilder.readManifest(spark, dir)
+
+  private def postings: DataFrame = spark.read.parquet(s"$dir/postings")
+  private def termstats: DataFrame = spark.read.parquet(s"$dir/termstats")
+  def docstore: DataFrame = spark.read.parquet(s"$dir/docstore")
+
+  /** (df, pv) per query term; None when a term is absent from the corpus. */
+  def termStatsOf(q: SearchQuery): Map[(String, String), (Long, Long)] = {
+    if (q.terms.isEmpty) return Map.empty
+    val buckets = q.terms.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
+    val cond = q.terms.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
+    termstats
+      .filter(col("bucket").isin(buckets: _*) && cond)
+      .select("field", "term", "df", "pv")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  /** Top-k (docId, score), exact BM25 over the AND intersection. */
+  def topK(q: SearchQuery): DataFrame = {
+    import spark.implicits._
+    candidates(q, q.k)
+      .toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(q.k)
+  }
+
+  /** Reference stats semantics. */
+  def searchStats(q: SearchQuery): SearchStats = {
+    val ts = termStatsOf(q)
+    if (q.terms.exists(t => !ts.contains(t))) return SearchStats(0, 0, 0)
+    if (q.terms.size == 1) {
+      val (df, pv) = ts(q.terms.head)
+      SearchStats(df, pv, df)
+    } else {
+      import spark.implicits._
+      val total = candidates(q, Int.MaxValue).count()
+      SearchStats(total, total, total)
+    }
+  }
+
+  /** Top-k joined back to the docstore — the J3 hits×docstore join
+    * (doc_gz_client.go:171-232); `text` returned verbatim (per-turn text
+    * equality invariant). */
+  def fetch(q: SearchQuery): DataFrame = {
+    val hits = topK(q)
+    val rows = hits.collect() // k rows only
+    if (rows.isEmpty) return hits.sparkSession.emptyDataFrame
+    val ids = rows.map(_.getLong(0))
+    docstore
+      .filter(col("docId").isin(ids: _*)) // parquet min/max pruning (sorted col)
+      .join(broadcast(hits), Seq("docId"))
+      .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** Per-chunk conjunctive scoring; emits up to `localK` best per chunk. */
+  private def candidates(q: SearchQuery, localK: Int): Dataset[(Long, Double)] = {
+    import spark.implicits._
+    val ts = termStatsOf(q)
+    if (q.terms.isEmpty || q.terms.exists(t => !ts.contains(t)))
+      return spark.emptyDataset[(Long, Double)]
+
+    val buckets = q.terms.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
+    val cond = q.terms.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
+    val rows = postings
+      .filter(col("bucket").isin(buckets: _*) && cond)
+      .select(col("field"), col("term"), col("chunk"), col("blob"))
+      .as[(String, String, Long, Array[Byte])]
+
+    val terms = q.terms.toArray
+    val idfs = terms.map { case (f, t) => Bm25.idf(manifest.numDocs, ts((f, t))._1) }
+    val avgdls = terms.map { case (f, _) => manifest.avgdl(f) }
+    val kLocal = localK
+
+    rows.groupByKey(_._3).flatMapGroups { (chunk, it) =>
+      QueryKernel.scoreChunk(terms, idfs, avgdls, kLocal, it)
+    }
+  }
+}
+
+/** The per-chunk scoring kernel — runs inside executors (mapGroups), plain
+  * Scala over posting cursors; deliberately outside codegen (SURVEY.md §4 R12).
+  */
+object QueryKernel extends Serializable {
+
+  /** Conjunctive document-at-a-time traversal with block-max skipping.
+    *
+    * The driver cursor is the rarest term (fewest postings in this chunk,
+    * like the reference starting from the smallest DocItemList in
+    * DocIdIntersect, doc_gz_client.go:73-104). When the heap holds k results,
+    * a driver block whose upper bound (its block-max + the other terms'
+    * static score ceilings idf*(k1+1)) cannot beat the current kth score is
+    * skipped without decoding — block-max WAND; exact because the bound is
+    * conservative and within a chunk later candidates have larger docIds (tie
+    * order score desc / docId asc preserved).
+    */
+  def scoreChunk(
+      terms: Array[(String, String)],
+      idfs: Array[Double],
+      avgdls: Array[Double],
+      k: Int,
+      it: Iterator[(String, String, Long, Array[Byte])]): Iterator[(Long, Double)] = {
+
+    val blobs = scala.collection.mutable.HashMap[(String, String), Array[Byte]]()
+    it.foreach { case (f, t, _, b) => blobs((f, t)) = b }
+    // AND: every query term must exist in this chunk
+    if (terms.exists(t => !blobs.contains(t))) return Iterator.empty
+
+    val nT = terms.length
+    val cursors = Array.tabulate(nT)(i => new PostingCodec.Cursor(blobs(terms(i))))
+    val order = Array.range(0, nT).sortBy(i => cursors(i).numPostings)
+    val drv = cursors(order(0))
+    val drvIdx = order(0)
+    // static ceilings for the non-driver terms (tfNorm < k1+1 always)
+    var othersCeil = 0.0
+    var oi = 1
+    while (oi < nT) { othersCeil += idfs(order(oi)) * (Bm25.K1 + 1.0); oi += 1 }
+
+    // heap head = current worst of the top-k: lowest score, tie -> larger docId
+    // (PriorityQueue dequeues the ordering's max, so "worst" must rank highest)
+    implicit val ord: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)
+
+    var alive = drv.advance()
+    var i2 = 1
+    while (alive && i2 < nT) { alive = cursors(order(i2)).advance(); i2 += 1 }
+
+    while (alive) {
+      // block-max skip on the driver
+      if (heap.size >= k && k != Int.MaxValue) {
+        val threshold = heap.head._2
+        var skipped = true
+        while (alive && skipped) {
+          if (drv.blockMaxScore + othersCeil <= threshold) {
+            alive = drv.advanceTo(drv.blockLastDocId + 1)
+          } else skipped = false
+        }
+      }
+      if (alive) {
+        // align all cursors on drv.docId (conjunction)
+        val target = drv.docId
+        var aligned = true
+        var j = 1
+        var bumped = false
+        while (alive && j < nT && !bumped) {
+          val c = cursors(order(j))
+          if (!c.advanceTo(target)) { alive = false }
+          else if (c.docId > target) {
+            // driver must catch up; restart alignment
+            if (!drv.advanceTo(c.docId)) alive = false
+            bumped = true
+          }
+          j += 1
+        }
+        aligned = alive && !bumped
+        if (aligned) {
+          // score in QUERY-TERM order (FP-identical to the oracle)
+          var s = 0.0
+          var qi = 0
+          while (qi < nT) {
+            val c = cursors(qi)
+            s += idfs(qi) * Bm25.tfNorm(c.tf, c.dl, avgdls(qi))
+            qi += 1
+          }
+          if (k == Int.MaxValue) heap.enqueue((target, s))
+          else if (heap.size < k) heap.enqueue((target, s))
+          else {
+            val (wd, ws) = heap.head
+            if (s > ws || (s == ws && target < wd)) { heap.dequeue(); heap.enqueue((target, s)) }
+          }
+          alive = drv.advance()
+        }
+      }
+    }
+    heap.iterator
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.build.{DocIds, IndexBuilder, IndexConfig}
+import graft.gen.TranscriptGen
+import graft.model.DocTurn
+import graft.query.{Bm25Oracle, QueryEngine, SearchQuery}
+
+/** The core correctness gate (SURVEY.md §5.3): engine top-k docIds AND BM25
+  * scores exactly (==) equal the brute-force oracle on the fixed query set;
+  * per-turn text equality end-to-end; reference pv/uv stats semantics.
+  */
+class EndToEndSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  val N = 3000L
+  lazy val indexDir: String = SparkSpec.tmpDir("graft-e2e-index")
+  lazy val built = IndexBuilder.build(
+    spark, TranscriptGen.turns(spark, N, 4).toDF(), indexDir,
+    IndexConfig(buckets = 8, chunkDocs = 256, blockSize = 32))
+  lazy val engine: QueryEngine = { built; new QueryEngine(spark, indexDir) }
+
+  lazy val oracleDocs: Seq[DocTurn] = {
+    val docs = DocIds.assign(TranscriptGen.turns(spark, N, 4).toDF())
+    docs.select("docId", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .as[DocTurn].collect().toSeq.sortBy(_.docId)
+  }
+  lazy val oracle = Bm25Oracle.buildIndex(oracleDocs)
+
+  // the fixed "reference query set" (FIXTURES.md §2 shape)
+  val queries: Seq[(String, SearchQuery)] = Seq(
+    "q01_single" -> SearchQuery.of(Seq("text" -> Seq("error")), 10),
+    "q02_and2" -> SearchQuery.of(Seq("text" -> Seq("error", "timeout")), 10),
+    "q03_needle" -> SearchQuery.of(Seq("text" -> Seq("needle-000001")), 10),
+    "q04_stopword_k100" -> SearchQuery.of(Seq("text" -> Seq("the")), 100),
+    "q05_crossfield" -> SearchQuery.of(Seq("tool" -> Seq("grep"), "text" -> Seq("match")), 25),
+    "q06_and3" -> SearchQuery.of(Seq("text" -> Seq("w000017", "w000042", "ok")), 10),
+    "q07_case_norm" -> SearchQuery.of(Seq("text" -> Seq("ERROR ")), 10),
+    "q08_absent" -> SearchQuery.of(Seq("text" -> Seq("zzznotpresent")), 10),
+    "q09_role" -> SearchQuery.of(Seq("role" -> Seq("tool"), "text" -> Seq("fail")), 15),
+    "q10_dup_terms" -> SearchQuery.of(Seq("text" -> Seq("error", "error", "retry")), 10))
+
+  test("rank identity: engine top-k docIds AND scores == oracle, exactly") {
+    queries.foreach { case (name, q) =>
+      val expected = Bm25Oracle.topK(oracle, q)
+      val got = engine.topK(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == expected.map(_._1), s"$name docIds differ\n got=$got\n exp=$expected")
+      got.zip(expected).foreach { case ((gd, gs), (ed, es)) =>
+        assert(gs == es, s"$name doc $gd/$ed score $gs != $es (exact)")
+      }
+    }
+  }
+
+  test("per-turn text equality: fetched text == generator text for every hit") {
+    val q = queries(1)._2 // error AND timeout
+    val rows = engine.fetch(q).collect()
+    assert(rows.nonEmpty)
+    val textByDocId = oracleDocs.map(d => d.docId -> d.text).toMap
+    rows.foreach { r =>
+      val docId = r.getLong(r.fieldIndex("docId"))
+      assert(r.getString(r.fieldIndex("text")) == textByDocId(docId))
+      // stable turn ordering invariant: docId really is the rank key
+      val d = oracleDocs(docId.toInt)
+      assert(r.getString(r.fieldIndex("conv_id")) == d.conv_id)
+      assert(r.getInt(r.fieldIndex("turn_idx")) == d.turn_idx)
+    }
+  }
+
+  test("pv/uv stats match reference semantics (single=header, multi=|intersection|)") {
+    queries.foreach { case (name, q) =>
+      val got = engine.searchStats(q)
+      val exp = Bm25Oracle.stats(oracle, q)
+      assert(got == exp, s"$name stats")
+    }
+  }
+
+  test("needle query returns exactly its one turn") {
+    val q = SearchQuery.of(Seq("text" -> Seq("needle-000002")), 10)
+    val hits = engine.fetch(q).collect()
+    assert(hits.length == 1)
+    assert(hits(0).getString(hits(0).fieldIndex("text")).contains("needle-000002"))
+  }
+
+  test("index layout: postings are bucket-partitioned, docstore docId-sorted") {
+    val buckets = new java.io.File(s"$indexDir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(buckets.nonEmpty && buckets.length <= 8)
+    val ds = spark.read.parquet(s"$indexDir/docstore").select("docId").collect().map(_.getLong(0))
+    assert(ds.length == N)
+    assert(ds.toSeq.sorted == (0L until N))
+  }
+}
