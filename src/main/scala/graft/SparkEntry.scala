@@ -1,13 +1,390 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Dedup, GateIndex, Multimodal, Similarity, TextOps, Transcripts}
+import graft.query.SearchQuery
+import graft.streaming.EventStream
+
+/** Driver contract — one `queries` entry per implemented operator (SURVEY.md
+  * §2 inventory + the training-data-pipeline extensions), each with an
+  * equivalent DuckDB oracle in `oracleSql`.
+  *
+  * Parity rules used throughout (so value-hash compare is stable):
+  *  - every output column lowercase + explicitly aliased on both sides;
+  *  - counts cast to BIGINT, sizes to INT on both sides;
+  *  - FP outputs rounded (6dp after single/ordered float ops, 4dp for big
+  *    unordered double sums, 0dp for monetary sums) — cross-system FP noise
+  *    is ~1e-12 relative, far inside the rounding;
+  *  - every query deterministically ORDERed;
+  *  - top-k cuts only where ties cannot straddle the boundary (rare terms or
+  *    raw stored values), never on freshly-summed doubles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: BM25 top-k over the AND of two terms on the rare 'dup' term —
+    * exercises the full index build + WAND query path. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("ft_bm25_topk")(spark, "/root/testdata/sf0.001")
+
+  private def eng(s: SparkSession, dir: String) = GateIndex.engine(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- fulltext engine (documents -> transcripts -> index -> query) ----
+    "ft_docids" -> ((s, dir) => {
+      eng(s, dir).docstore
+        .select(col("docId").as("docid"), col("conv_id"), col("turn_idx"),
+          col("role"), col("tool"))
+        .orderBy("docid")
+    }),
+    "ft_tokenize" -> ((s, dir) => {
+      graft.build.IndexBuilder.termOccs(eng(s, dir).docstore)
+        .filter(col("field") === "text")
+        .select(col("docId").as("docid"), col("term"), col("tf").cast("int").as("tf"),
+          col("dl").cast("int").as("dl"))
+        .orderBy("docid", "term")
+    }),
+    "ft_term_stats" -> ((s, dir) => {
+      s.read.parquet(s"${eng(s, dir).dir}/termstats")
+        .filter(col("field") === "text")
+        .select(col("term"), col("df").cast("long").as("df"), col("pv").cast("long").as("pv"))
+        .orderBy("term")
+    }),
+    "ft_search_and" -> ((s, dir) =>
+      eng(s, dir).matchingDocIds(SearchQuery.of(Seq("text" -> Seq("spark", "merge")), 0))),
+    "ft_bm25_single" -> ((s, dir) => {
+      val e = eng(s, dir)
+      e.scoreAll(SearchQuery.of(Seq("text" -> Seq("spark")), 0))
+        .select(col("docId").as("docid"), round(col("score"), 6).as("score_r"))
+        .orderBy("docid")
+    }),
+    "ft_bm25_and2" -> ((s, dir) => {
+      val e = eng(s, dir)
+      e.scoreAll(SearchQuery.of(Seq("text" -> Seq("spark", "merge")), 0))
+        .select(col("docId").as("docid"), round(col("score"), 6).as("score_r"))
+        .orderBy("docid")
+    }),
+    "ft_bm25_topk" -> ((s, dir) => {
+      // 'dup' is rare (df << k) so the cut never lands on a score tie
+      val e = eng(s, dir)
+      e.topK(SearchQuery.of(Seq("text" -> Seq("dup")), 30))
+        .select(col("docId").as("docid"), round(col("score"), 6).as("score_r"))
+        .orderBy(desc("score_r"), asc("docid"))
+    }),
+    "ft_fetch_text" -> ((s, dir) => {
+      val e = eng(s, dir)
+      e.fetch(SearchQuery.of(Seq("text" -> Seq("dup")), 30))
+        .select(col("docId").as("docid"), col("conv_id"), col("turn_idx"),
+          col("role"), col("text"), round(col("score"), 6).as("score_r"))
+        .orderBy(desc("score_r"), asc("docid"))
+    }),
+    "ft_pvuv" -> ((s, dir) => {
+      import s.implicits._
+      val st = eng(s, dir).searchStats(SearchQuery.of(Seq("text" -> Seq("spark")), 1))
+      Seq((st.total, st.pv, st.uv)).toDF("total", "pv", "uv")
+    }),
+
+    // ---- relational coverage (scan/filter/agg/join/window/sort/limit) ----
+    "rel_q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // integer-valued doubles: exact
+          round(sum("l_extendedprice"), 0).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "rel_join_agg" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"))
+        .orderBy("n_name", "o_orderpriority")
+    }),
+    "rel_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_qty", sum("l_quantity").over(w)) // ordered sum: exact parity
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"), col("run_qty"))
+        .orderBy("l_suppkey", "rn")
+    }),
+    "rel_topk_orders" -> ((s, dir) => {
+      // ranks on raw stored doubles (no fresh arithmetic): exact both sides
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    }),
+    "rel_events_daily" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd HH:mm:ss").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+    "stream_hourly" -> ((s, dir) => EventStream.hourlyByType(s, dir)),
+
+    // ---- training-data pipeline: dedup family ----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // ---- similarity search ----
+    "ann_cosine_top10" -> ((s, dir) => Similarity.cosineTopK(s, dir, 0, 10)),
+    "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
+
+    // ---- text analysis ----
+    "text_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_quality" -> ((s, dir) => TextOps.qualityScore(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_langid" -> ((s, dir) => TextOps.langId(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // ---- multimodal plumbing ----
+    "mm_meta" -> ((s, dir) => Multimodal.extractMeta(s, s.read.parquet(s"$dir/documents.parquet"))))
+
+  // ======================= DuckDB oracles =======================
+
+  private val T = Transcripts.DuckdbCte
+
+  private def bm25Select(termsInList: String, nTerms: Int): String =
+    s"""$T, q AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1 + ((SELECT n FROM corpus) - df.df + 0.5) / (df.df + 0.5))
+       |       * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM corpus))) ) AS score,
+       |    count(*) AS nt
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |  WHERE tf.term IN ($termsInList)
+       |  GROUP BY 1 HAVING count(*) = $nTerms)""".stripMargin
+
+  private val minhashCols: String = (0 until Dedup.NumHashes)
+    .map(j => s"min((h * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % ${Dedup.MinhashP}) AS mh$j")
+    .mkString(", ")
+  private def bandSig(b: Int): String = (0 until Dedup.BandRows)
+    .map(r => s"CAST(mh${b * Dedup.BandRows + r} AS VARCHAR)").mkString(" || '-' || ")
+  private val bandsUnion: String = (0 until Dedup.NumHashes / Dedup.BandRows)
+    .map(b => s"SELECT doc_id, $b AS band, ${bandSig(b)} AS sig FROM mh").mkString(" UNION ALL ")
+
+  def oracleSql: Map[String, String] = Map(
+    "ft_docids" ->
+      s"""$T SELECT doc_id AS docid, conv_id, turn_idx, role, tool FROM t ORDER BY docid""",
+    "ft_tokenize" ->
+      s"""$T SELECT tf.doc_id AS docid, tf.term, tf.tf, CAST(dl.dl AS INT) AS dl
+         |FROM tf JOIN dl ON tf.doc_id = dl.doc_id ORDER BY docid, term""".stripMargin,
+    "ft_term_stats" ->
+      s"""$T SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS pv
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "ft_search_and" ->
+      s"""$T SELECT doc_id AS docid FROM tf WHERE term IN ('spark','merge')
+         |GROUP BY doc_id HAVING count(*) = 2 ORDER BY docid""".stripMargin,
+    "ft_bm25_single" ->
+      s"""${bm25Select("'spark'", 1)}
+         |SELECT doc_id AS docid, round(score, 6) AS score_r FROM q ORDER BY docid""".stripMargin,
+    "ft_bm25_and2" ->
+      s"""${bm25Select("'spark','merge'", 2)}
+         |SELECT doc_id AS docid, round(score, 6) AS score_r FROM q ORDER BY docid""".stripMargin,
+    "ft_bm25_topk" ->
+      s"""${bm25Select("'dup'", 1)}
+         |SELECT doc_id AS docid, round(score, 6) AS score_r FROM q
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT 30""".stripMargin,
+    "ft_fetch_text" ->
+      s"""${bm25Select("'dup'", 1)}
+         |SELECT q.doc_id AS docid, t.conv_id, t.turn_idx, t.role, t.text,
+         |       round(q.score, 6) AS score_r
+         |FROM q JOIN t ON q.doc_id = t.doc_id
+         |ORDER BY round(q.score, 6) DESC, q.doc_id LIMIT 30""".stripMargin,
+    "ft_pvuv" ->
+      s"""$T SELECT CAST(count(*) AS BIGINT) AS total, CAST(sum(tf) AS BIGINT) AS pv,
+         |CAST(count(*) AS BIGINT) AS uv FROM tf WHERE term = 'spark'""".stripMargin,
+
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 0) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_join_agg" ->
+      """SELECT n_name, o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  sum(l_quantity) OVER w AS run_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "rel_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_events_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.h, h.doc_id = k.keeper AS is_keeper, k.n_copies
+        |FROM h JOIN k USING (h) ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tt.term
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+        |  WHERE length(tt.term) BETWEEN 2 AND 40),
+        |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 6) AS j
+        |FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) >= 0.95
+        |ORDER BY a, b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, tt.term
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+         |  WHERE length(tt.term) BETWEEN 2 AND 40),
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
+         |mh AS (SELECT doc_id, $minhashCols FROM hh GROUP BY 1),
+         |bands AS ($bandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1)
+         |SELECT cand.a, cand.b,
+         |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE), 6) AS j
+         |FROM cand JOIN ts ta ON cand.a = ta.doc_id JOIN ts tb ON cand.b = tb.doc_id
+         |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95
+         |ORDER BY a, b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tt.term
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+        |  WHERE length(tt.term) BETWEEN 2 AND 40),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tf),
+        |bits AS (
+        |  SELECT doc_id, r.b, sum(CASE WHEN (h >> r.b) & 1 = 1 THEN tf ELSE -tf END) AS s
+        |  FROM hh, unnest(range(0, 32)) AS r(b) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ann_cosine_top10" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_reduce(list_transform(list_zip(e.embedding, (SELECT qe FROM q)),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) AS dot,
+        |    sqrt(list_reduce(list_transform(e.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) AS na,
+        |    (SELECT sqrt(list_reduce(list_transform(qe,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)) FROM q) AS nb
+        |  FROM embeddings e WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, round(dot / (na * nb), 6) AS cos
+        |FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_lsh_buckets" -> {
+      val bitCols = (0 until Similarity.SigBits).map { j =>
+        s"""CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))),
+           |  x -> CAST(x[1] AS DOUBLE) *
+           |    CASE WHEN CAST(('0x' || substr(md5('hp-$j-' || CAST(x[2] AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+           |         THEN 1.0 ELSE -1.0 END), (a, b) -> a + b) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_vec FROM (
+         |  SELECT vec_id, ($bitCols) AS bucket FROM embeddings)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |       t -> length(t) BETWEEN 2 AND 40)) AS INT) AS re_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_computed,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, tt.term
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+         |  WHERE length(tt.term) BETWEEN 2 AND 40),
+         |st AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CASE WHEN term IN ${TextOps.StopwordsSql} THEN 1 ELSE 0 END) AS DOUBLE) AS n_stop,
+         |    CAST(count(DISTINCT term) AS DOUBLE) AS nd
+         |  FROM tok GROUP BY 1)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(n_stop / n, 6) AS stop_ratio,
+         |  round(nd / n, 6) AS distinct_ratio,
+         |  round(least(n / 64.0, 1.0) * 0.4 + (1.0 - n_stop / n) * 0.3 + (nd / n) * 0.3, 6) AS quality
+         |FROM st ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val scoreCols = TextOps.LangStops.map { case (lang, stops) =>
+        val inList = stops.map(s => s"'$s'").mkString(",")
+        s"CAST(sum(CASE WHEN term IN ($inList) THEN 1 ELSE 0 END) AS DOUBLE) / greatest(CAST(count(*) AS DOUBLE), 1.0) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangStops.map(_._1)
+      val maxExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseExpr = langs.map(l => s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString(" ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, tt.term
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+         |  WHERE length(tt.term) BETWEEN 2 AND 40),
+         |sc AS (SELECT doc_id, $scoreCols FROM tok GROUP BY 1),
+         |mx AS (SELECT *, $maxExpr AS mx FROM sc)
+         |SELECT m.doc_id, d.lang AS lang_label,
+         |  CASE $caseExpr ELSE 'und' END AS lang_pred,
+         |  round(mx, 6) AS lang_score
+         |FROM mx m JOIN documents d ON m.doc_id = d.doc_id ORDER BY m.doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      """WITH ts AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    t -> length(t) BETWEEN 2 AND 40) AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, sss.shingle FROM ts,
+        |    unnest(list_transform(range(0, greatest(len(ts) - 5, 0) + 1),
+        |      i -> array_to_string(list_slice(ts, i + 1, i + 5), ' '))) AS sss(shingle)),
+        |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h FROM sh)
+        |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, CAST(count(*) AS BIGINT) AS n_shingles
+        |FROM hh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CAST(320 + CAST(('0x' || substr(sha256(text), 1, 4)) AS INT) % 1600 AS INT) AS width,
+        |  CAST(240 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INT) % 840 AS INT) AS height,
+        |  CAST(1 + CAST(('0x' || substr(sha256(text), 9, 4)) AS INT) % 240 AS INT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

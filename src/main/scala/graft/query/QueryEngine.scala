@@ -113,8 +113,21 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
       .orderBy(desc("score"), asc("docId"))
   }
 
+  /** All docIds matching the AND conjunction, ascending (the reference's
+    * unranked result order, doc_gz_client.go:101-103). */
+  def matchingDocIds(q: SearchQuery): DataFrame = {
+    import spark.implicits._
+    candidates(q, Int.MaxValue).map(_._1).toDF("docid").orderBy("docid")
+  }
+
+  /** Exact BM25 scores for EVERY matching doc (no top-k cut). */
+  def scoreAll(q: SearchQuery): DataFrame = {
+    import spark.implicits._
+    candidates(q, Int.MaxValue).toDF("docId", "score")
+  }
+
   /** Per-chunk conjunctive scoring; emits up to `localK` best per chunk. */
-  private def candidates(q: SearchQuery, localK: Int): Dataset[(Long, Double)] = {
+  private[graft] def candidates(q: SearchQuery, localK: Int): Dataset[(Long, Double)] = {
     import spark.implicits._
     val ts = termStatsOf(q)
     if (q.terms.isEmpty || q.terms.exists(t => !ts.contains(t)))

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming rebuild of the reference's incremental ingestion
+  * semantics (docformat daemon, SURVEY.md §2.8): event-time bucketing
+  * (T1, logto_hdfs_collector.go:276-307 getMinute) becomes a tumbling
+  * window; the flush-after-lateness rule (T2, flush:337-390) becomes a
+  * watermark. Driven synchronously over the batch parquet via the file
+  * source + memory sink so the same code is testable without a daemon.
+  */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Windowed per-hour counts/sums by event_type, computed by an actual
+    * streaming query (watermarked tumbling window, append mode). */
+  def hourlyByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = s"graft_stream_out_${nameCounter.incrementAndGet()}"
+    // the file source needs a directory: expose the single parquet via a
+    // symlinked temp dir (testdata itself is read-only)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    streamDir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Path.of(sfDir, "events.parquet").toAbsolutePath)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(streamDir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table).orderBy("hour", "event_type")
+  }
+}
