@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for local-mode session tuning so every entry point (CLI, Verify,
+  * Bench, tests) behaves the same.
+  *
+  * Notes for cluster deployment: everything here is local-mode plumbing —
+  * on a real cluster only shuffle.partitions/AQE matter (and shuffle
+  * partitions should be ~2-3x total cores, or left to AQE coalescing).
+  */
+object Sessions {
+
+  def localDir: String = {
+    // shuffle/spill on tmpfs when available: the sandbox's single virtio disk
+    // serializes 32-way shuffles that a cluster would spread across machines
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File("/dev/shm/graft-spark-local")
+      d.mkdirs()
+      d.getAbsolutePath
+    } else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  }
+
+  def local(cpus: Int, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", localDir))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
+    s
+  }
+}

@@ -1,0 +1,119 @@
+package graft.analyze
+
+import java.net.{URI, URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+/** The rest of the reference's tokenizer `Function` surface (SURVEY.md §2.3):
+  * generator-shaped scalar functions, each `String => Seq[String]`, chained
+  * per field. The transcripts rebuild needs only F1-F3 + P6 on the hot path;
+  * these are provided for parity of the function library and are covered by
+  * TokenFunctionsSpec.
+  *
+  * All are plain deterministic Scala usable from typed flatMaps; none touch
+  * the indexing hot path unless configured into a field's analyzer chain.
+  */
+object TokenFunctions {
+
+  /** F3 `split`: regex split (SplitFunction.java:9-35). */
+  def split(sep: String)(s: String): Seq[String] =
+    if (s == null) Seq.empty else s.split(sep).toSeq.filter(_.nonEmpty)
+
+  /** F4 `url`: URI-normalize and emit the reference's variant set — full url,
+    * host, host:port, host/path1, path1/path2, host/p1/p2/p3
+    * (plugin/Util.java:226-313 ParseUrl, UrlFunction.java:11-25). */
+  def urlVariants(s: String): Seq[String] = {
+    if (s == null || s.isEmpty) return Seq.empty
+    val trimmed = s.trim.toLowerCase(java.util.Locale.ROOT)
+    try {
+      val withScheme = if (trimmed.contains("://")) trimmed else "http://" + trimmed
+      val u = new URI(withScheme)
+      val host = Option(u.getHost).getOrElse(return Seq(trimmed))
+      val port = u.getPort
+      val segs = Option(u.getPath).getOrElse("").split('/').filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.LinkedHashSet[String](trimmed, host)
+      if (port > 0) out += s"$host:$port"
+      if (segs.nonEmpty) out += s"$host/${segs.head}"
+      if (segs.length >= 2) out += s"${segs(0)}/${segs(1)}"
+      if (segs.length >= 3) out += s"$host/${segs(0)}/${segs(1)}/${segs(2)}"
+      out.toSeq
+    } catch { case _: Exception => Seq(trimmed) }
+  }
+
+  /** F5 `path`: split a Windows path on backslashes; emit full path, each
+    * component, and adjacent pairs (Util.java:189-224, PathFunction.java). */
+  def pathVariants(s: String): Seq[String] = {
+    if (s == null || s.isEmpty) return Seq.empty
+    val p = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val comps = p.split("[\\\\/]+").filter(_.nonEmpty).toSeq
+    val pairs = comps.sliding(2).filter(_.length == 2).map(_.mkString("\\")).toSeq
+    (Seq(p) ++ comps ++ pairs).distinct
+  }
+
+  /** F6 `pathWithUrlencode`: same over urlencoded %5c separators
+    * (PathWithUrlencodeFunction.java:9-66). */
+  def pathUrlencodedVariants(s: String): Seq[String] =
+    pathVariants(urldecode(s).headOption.getOrElse(""))
+
+  /** F7 `ip`: emit the full IPv4 plus its /24 prefix
+    * (Util.java:167-187, IpFunction.java). */
+  def ipVariants(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    val ip = s.trim
+    val IpRe = "^(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})$".r
+    ip match {
+      case IpRe(a, b, c, _) if Seq(a, b, c).forall(_.toInt <= 255) =>
+        Seq(ip, s"$a.$b.$c")
+      case _ => Seq.empty
+    }
+  }
+
+  /** F8 `urldecode` (UrlDecodeFunction.java:9-29; utf-8 with fallback). */
+  def urldecode(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    try Seq(URLDecoder.decode(s, StandardCharsets.UTF_8))
+    catch { case _: Exception => Seq(s) }
+  }
+
+  /** F8 `urlencode` (UrlEncodeFunction.java:10-38). */
+  def urlencode(s: String): Seq[String] =
+    if (s == null) Seq.empty else Seq(URLEncoder.encode(s, StandardCharsets.UTF_8))
+
+  /** F9 `base64decode` (Base64DecodeFunction.java:11-25, Util.java:315-332). */
+  def base64decode(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    try Seq(new String(Base64.getDecoder.decode(s.trim), StandardCharsets.UTF_8))
+    catch { case _: Exception => Seq.empty }
+  }
+
+  /** P4 blacklist filter with 1-in-N deterministic sampling: drop
+    * blacklisted tokens entirely when precision == 0; otherwise pass exactly
+    * one occurrence per `precision` sightings — the reference fires on
+    * count % precision == 5 % precision (FilterFunction.java:11-31,
+    * TokenFilter.java:14-61). This is Poseidon's stopword/skew guard; the
+    * rebuild's primary skew answer is chunked postings (IndexBuilder), this
+    * exists for semantic parity and is exact-count tested like
+    * FilterFunctionTest.java:38-68. NOTE: stateful per instance — use one
+    * instance per partition (mapPartitions), as the reference uses one per
+    * mapper.
+    */
+  final class BlacklistFilter(blacklist: Set[String], precision: Int) extends Serializable {
+    private val counts = scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
+    def apply(token: String): Boolean = {
+      if (!blacklist.contains(token)) true
+      else if (precision <= 0) false
+      else {
+        val c = counts(token) + 1
+        counts(token) = c
+        c % precision == 5 % precision
+      }
+    }
+  }
+
+  /** P5 regex check: keep token iff it matches (RegexCheck.java:11-45;
+    * the reference supplies the pattern base64-encoded in config). */
+  def regexCheck(pattern: String): String => Boolean = {
+    val re = pattern.r
+    (s: String) => s != null && re.pattern.matcher(s).matches()
+  }
+}

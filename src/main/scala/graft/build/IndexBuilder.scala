@@ -31,7 +31,15 @@ final case class IndexConfig(
     chunkDocs: Long = 1L << 16,
     blockSize: Int = PostingCodec.DefaultBlockSize,
     bucketGroups: Int = 1,
-    docIdPartitions: Int = 0)
+    docIdPartitions: Int = 0,
+    /** Optional per-(field,term) posting cap: keep only the first N docIds,
+      * mirroring the reference's 1e6-docId truncation skew guard
+      * (ReduceGroupData.java:104-128 isInvalidData,
+      * docs/build_inverted_index.md:66-68 — documented recall loss). Default
+      * OFF (0): rank-identity requires complete postings; the rebuild's real
+      * skew answer is the chunked layout, which bounds groups without
+      * dropping data. */
+    maxDocsPerTerm: Long = 0L)
 
 final case class IndexManifest(
     buildId: String,
@@ -57,15 +65,29 @@ object IndexBuilder {
 
   /** (field, term, docId, tf, dl) — the analog of the reference mapper's
     * intermediate row (LogParser.java:21-53), with tf pre-counted per doc and
-    * dl (per-field doc length) carried for local scoring. */
+    * dl (per-field doc length) carried for local scoring.
+    *
+    * One typed flatMap, NO shuffle: a turn's tokens live in its own row, so
+    * tf is countable in place — exactly the reference's map-side shape. (The
+    * Column-expression tokenizer is behaviorally identical — AnalyzerSpec —
+    * and remains the form used by oracle-checked gate queries.)
+    */
   def termOccs(docs: DataFrame): DataFrame = {
-    Fields.map { f =>
-      docs.select(col("docId"), fieldTokens(f).as("toks"))
-        .select(col("docId"), explode(col("toks")).as("term"), size(col("toks")).as("dl"))
-        .groupBy(col("docId"), col("term"), col("dl"))
-        .agg(count(lit(1)).cast("int").as("tf"))
-        .select(lit(f).as("field"), col("term"), col("docId"), col("tf"), col("dl"))
-    }.reduce(_ unionAll _)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("docId"), col("text"), col("role"), col("tool"))
+      .as[(Long, String, String, String)]
+      .flatMap { case (docId, text, role, tool) =>
+        Seq(("text", text), ("role", role), ("tool", tool)).flatMap { case (f, v) =>
+          val toks = graft.analyze.Analyzers.byField(f).tokens(v)
+          val dl = toks.length
+          toks.groupBy(identity).map { case (t, occ) =>
+            graft.model.TermOcc(f, t, docId, occ.size, dl)
+          }
+        }
+      }
+      .toDF()
+      .select(col("field"), col("term"), col("docId"), col("tf"), col("dl"))
   }
 
   /** Per-field avgdl over ALL docs (zero-token docs included — the oracle
@@ -84,36 +106,79 @@ object IndexBuilder {
             cfg: IndexConfig = IndexConfig()): IndexManifest = {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the posting aggregation has ~|vocab| * chunks groups; the default
+    // ObjectHashAggregate fallback (128 groups) would silently degrade it to
+    // a full sort of every occurrence row per partition
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "33554432")
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
 
+    val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (verbose) {
+      val now = System.nanoTime()
+      System.err.println(f"[build] $name: ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
+
     val docs = DocIds.assign(turns, cfg.docIdPartitions).persist(StorageLevel.MEMORY_AND_DISK)
     val numDocs = docs.count()
+    phase("docids+count")
     val avgdl = corpusAvgdl(docs)
+    phase("avgdl")
     val buildId = f"build-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d"
 
-    // docstore: sorted by docId => parquet min/max rowgroup pruning on fetch
+    // docstore: sorted by docId => parquet min/max rowgroup pruning on fetch.
+    // DocIds.assign already range-partitioned + sorted by (conv_id, turn_idx)
+    // == docId order, so no re-sort exchange is needed — write as-is.
     if (!fs.exists(new Path(dir, "docstore/_SUCCESS"))) {
-      docs.orderBy("docId")
-        .write.mode("overwrite").parquet(s"$dir/docstore")
+      docs.write.mode("overwrite").parquet(s"$dir/docstore")
     }
+    phase("docstore")
 
     val bucketU = udf((t: String) => bucketOf(t, cfg.buckets))
     val occs = termOccs(docs)
       .withColumn("bucket", bucketU(col("term")))
       .withColumn("chunk", (col("docId") / cfg.chunkDocs).cast("long"))
+
+    val postingUdaf = udaf(PostingAgg)
+    val groupedRaw = occs.groupBy("field", "term", "bucket", "chunk")
+      .agg(postingUdaf(col("docId"), col("tf"), col("dl")).as("p"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // header stats: df (uv) + pv per term, reference header semantics
-    // (InvertedIndexGenerateReducer.java:390-395)
-    val stats = occs.groupBy("field", "term", "bucket")
-      .agg(count(lit(1)).as("df"), sum("tf").as("pv"))
+    // (InvertedIndexGenerateReducer.java:390-395). Derived from the chunk
+    // rows — a #(term,chunk)-row aggregate — instead of re-shuffling every
+    // occurrence row a second time.
+    val stats = groupedRaw
+      .select(col("field"), col("term"), col("bucket"),
+        size(col("p.docIds")).cast("long").as("dfc"),
+        expr("aggregate(p.tfs, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("pvc"))
+      .groupBy("field", "term", "bucket")
+      .agg(sum("dfc").as("df"), sum("pvc").as("pv"))
 
-    val postingUdaf = udaf(PostingAgg)
-    val grouped = occs.groupBy("field", "term", "bucket", "chunk")
-      .agg(postingUdaf(col("docId"), col("tf"), col("dl")).as("p"))
+    // optional truncation cap (isInvalidData mirror): running doc count per
+    // term over chunk order; drop/trim chunks past the cap. The window
+    // partitions by (field, term) over per-chunk rows — bounded by
+    // #chunks-per-term, never by postings.
+    val capped = if (cfg.maxDocsPerTerm <= 0) groupedRaw else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("field", "term").orderBy("chunk")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      groupedRaw
+        .withColumn("prior", coalesce(sum(size(col("p.docIds"))).over(w), lit(0L)))
+        .filter(col("prior") < cfg.maxDocsPerTerm)
+        .withColumn("keep", least(lit(cfg.maxDocsPerTerm) - col("prior"),
+          size(col("p.docIds")).cast("long")).cast("int"))
+        .withColumn("p", struct(
+          slice(col("p.docIds"), lit(1), col("keep")).as("docIds"),
+          slice(col("p.tfs"), lit(1), col("keep")).as("tfs"),
+          slice(col("p.dls"), lit(1), col("keep")).as("dls")))
+        .drop("prior", "keep")
+    }
+    val grouped = capped
       .join(stats.select("field", "term", "df"), Seq("field", "term"))
 
     val n = numDocs
@@ -133,17 +198,25 @@ object IndexBuilder {
       size(col("p.docIds")).cast("long").as("dfChunk"),
       encodeU(col("p.docIds"), col("p.tfs"), col("p.dls"), col("df"), col("field")).as("blob"))
 
+    val groupCount = groupedRaw.count() // materialize the posting-group cache
+    phase(s"posting groups ($groupCount rows)")
+
     val groups = math.max(1, cfg.bucketGroups)
     (0 until groups).foreach { g =>
       val done = new Path(manifestDir, s"group-$g.json")
       if (!fs.exists(done)) {
         val t0 = System.nanoTime()
+        // partition by (bucket, chunk): write parallelism = buckets x chunks
+        // instead of capping at #buckets, while files-per-bucket-dir stays
+        // bounded by the day's chunk count
         val part = postingRows.filter(col("bucket") % groups === g)
-          .repartition(col("bucket"))
+          .repartition(col("bucket"), col("chunk"))
           .sortWithinPartitions("field", "term", "chunk")
         part.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+        phase(s"postings g=$g")
         stats.filter(col("bucket") % groups === g)
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+        phase(s"termstats g=$g")
         val wallMs = (System.nanoTime() - t0) / 1000000L
         // lineage + metrics per completed group, written atomically (tmp+rename)
         val tmp = new Path(manifestDir, s".group-$g.json.tmp")
@@ -158,7 +231,7 @@ object IndexBuilder {
 
     val manifest = IndexManifest(buildId, numDocs, cfg.buckets, cfg.chunkDocs, cfg.blockSize, avgdl)
     writeManifest(fs, new Path(manifestDir, "core.json"), manifest)
-    occs.unpersist(); docs.unpersist()
+    groupedRaw.unpersist(); docs.unpersist()
     manifest
   }
 

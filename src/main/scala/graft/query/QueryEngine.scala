@@ -59,9 +59,12 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
 
   val manifest = IndexBuilder.readManifest(spark, dir)
 
-  private def postings: DataFrame = spark.read.parquet(s"$dir/postings")
-  private def termstats: DataFrame = spark.read.parquet(s"$dir/termstats")
-  def docstore: DataFrame = spark.read.parquet(s"$dir/docstore")
+  // lazy vals: parquet file listings + schema inference happen once per
+  // engine, not once per query (repeated interactive queries hit the cached
+  // relation; partition pruning still applies per filter)
+  private lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
+  private lazy val termstats: DataFrame = spark.read.parquet(s"$dir/termstats")
+  lazy val docstore: DataFrame = spark.read.parquet(s"$dir/docstore")
 
   /** (df, pv) per query term; None when a term is absent from the corpus. */
   def termStatsOf(q: SearchQuery): Map[(String, String), (Long, Long)] = {
@@ -83,6 +86,14 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
       .toDF("docId", "score")
       .orderBy(desc("score"), asc("docId"))
       .limit(q.k)
+  }
+
+  /** Paged ranked hits — the reference's pagination (O4,
+    * module/poseidon.go:134-143 slices [page*size, ...) of the ordered id
+    * list; here the slice applies to the BM25 ranking). */
+  def topKPage(q: SearchQuery, pageNumber: Int, pageSize: Int): DataFrame = {
+    val upto = (pageNumber + 1) * pageSize
+    topK(q.copy(k = upto)).offset(pageNumber * pageSize)
   }
 
   /** Reference stats semantics. */
@@ -149,6 +160,31 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
       QueryKernel.scoreChunk(terms, idfs, avgdls, kLocal, it)
     }
   }
+}
+
+/** Multi-day scatter/gather — the reference proxy's fan-out
+  * (service/proxy/module/proxy.go:79-146 spawns one searcher per day and
+  * concatenates results, J4). Each day is an independent index partition
+  * (daily epoch, T5); here the per-day candidates are additionally re-ranked
+  * globally by score (the reference concatenates unranked day results — with
+  * BM25 in play a global order is strictly more useful; per-day idf/avgdl
+  * stay day-local exactly like the reference's per-day indexes).
+  */
+class MultiDayEngine(spark: SparkSession, dayDirs: Seq[(String, String)]) {
+  import org.apache.spark.sql.functions.{lit, desc, asc}
+  val engines: Seq[(String, QueryEngine)] =
+    dayDirs.map { case (day, d) => day -> new QueryEngine(spark, d) }
+
+  def topK(q: SearchQuery): DataFrame =
+    engines.map { case (day, e) =>
+      e.topK(q).withColumn("day", lit(day))
+    }.reduce(_ unionAll _)
+      .orderBy(desc("score"), asc("day"), asc("docId"))
+      .limit(q.k)
+
+  def searchStats(q: SearchQuery): SearchStats =
+    engines.map(_._2.searchStats(q))
+      .reduce((a, b) => SearchStats(a.total + b.total, a.pv + b.pv, a.uv + b.uv))
 }
 
 /** The per-chunk scoring kernel — runs inside executors (mapGroups), plain
