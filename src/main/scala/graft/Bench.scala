@@ -92,7 +92,7 @@ object Bench {
     // a cluster do not share a heap. Each level is preceded by a warmup
     // build in the same JVM (JIT + codegen caches), then takes best-of-2 to
     // damp the sandbox's CPU-steal noise.
-    val scaleTurns = math.min(benchTurns * 2, 400000L)
+    val scaleTurns = math.min(benchTurns * 4, 600000L)
     val lowCpus = 2
     val highCpus = 8
     def measured(p: Int): Double = {

@@ -139,6 +139,26 @@ object SparkEntry {
     }),
     "stream_hourly" -> ((s, dir) => EventStream.hourlyByType(s, dir)),
 
+    // ---- field extraction: reference line formats JSON/TAB/KV (P1-P3,
+    // CommonLogParser.java:49-61; dotted-path JSON TokenParser.java:87-121) ----
+    "px_json" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+    "px_tab_kv" -> ((s, dir) => {
+      // synthesize TAB and KV lines, then extract positionally / by regex
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("tabline", concat_ws("\t", col("lang"), col("source"), col("n_chars")))
+        .withColumn("kvline", concat(lit("<lang="), col("lang"), lit("><source="), col("source"), lit(">")))
+        .select(col("doc_id"),
+          split(col("tabline"), "\t").getItem(1).as("tab_source"),
+          regexp_extract(col("kvline"), "<source=([^>]*)>", 1).as("kv_source"),
+          regexp_extract(col("kvline"), "<lang=([^>]*)>", 1).as("kv_lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data pipeline: dedup family ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -250,6 +270,15 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "px_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "px_tab_kv" ->
+      """SELECT doc_id,
+        |  string_split(lang || chr(9) || source || chr(9) || CAST(n_chars AS VARCHAR), chr(9))[2] AS tab_source,
+        |  regexp_extract('<lang=' || lang || '><source=' || source || '>', '<source=([^>]*)>', 1) AS kv_source,
+        |  regexp_extract('<lang=' || lang || '><source=' || source || '>', '<lang=([^>]*)>', 1) AS kv_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |k AS (SELECT h, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies FROM h GROUP BY 1)

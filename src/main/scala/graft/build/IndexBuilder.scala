@@ -124,10 +124,12 @@ object IndexBuilder {
     }
 
     val docs = DocIds.assign(turns, cfg.docIdPartitions).persist(StorageLevel.MEMORY_AND_DISK)
-    val numDocs = docs.count()
-    phase("docids+count")
-    val avgdl = corpusAvgdl(docs)
-    phase("avgdl")
+    // one job: materialize the cache + count + per-field avgdl together
+    val statsRow = docs.select(
+      (count(lit(1)) +: Fields.map(f => avg(size(fieldTokens(f))).as(f))): _*).collect()(0)
+    val numDocs = statsRow.getLong(0)
+    val avgdl = Fields.zipWithIndex.map { case (f, i) => f -> statsRow.getDouble(i + 1) }.toMap
+    phase("docids+count+avgdl")
     val buildId = f"build-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d"
 
     // docstore: sorted by docId => parquet min/max rowgroup pruning on fetch.
@@ -198,8 +200,7 @@ object IndexBuilder {
       size(col("p.docIds")).cast("long").as("dfChunk"),
       encodeU(col("p.docIds"), col("p.tfs"), col("p.dls"), col("df"), col("field")).as("blob"))
 
-    val groupCount = groupedRaw.count() // materialize the posting-group cache
-    phase(s"posting groups ($groupCount rows)")
+    // (groupedRaw cache materializes with the first consumer — no extra job)
 
     val groups = math.max(1, cfg.bucketGroups)
     (0 until groups).foreach { g =>
