@@ -66,17 +66,28 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   private lazy val termstats: DataFrame = spark.read.parquet(s"$dir/termstats")
   lazy val docstore: DataFrame = spark.read.parquet(s"$dir/docstore")
 
-  /** (df, pv) per query term; None when a term is absent from the corpus. */
+  // driver-side term-dictionary cache: repeated queries skip the stats job
+  // entirely (absent terms cached as None). The analog of the reference
+  // searcher's meta multiget being fronted by memcached (S10).
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[(Long, Long)]]()
+
+  /** (df, pv) per query term; terms absent from the corpus are omitted. */
   def termStatsOf(q: SearchQuery): Map[(String, String), (Long, Long)] = {
     if (q.terms.isEmpty) return Map.empty
-    val buckets = q.terms.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
-    val cond = q.terms.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
-    termstats
-      .filter(col("bucket").isin(buckets: _*) && cond)
-      .select("field", "term", "df", "pv")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
-      .toMap
+    val missing = q.terms.filterNot(statsCache.containsKey)
+    if (missing.nonEmpty) {
+      val buckets = missing.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
+      val cond = missing.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
+      val found = termstats
+        .filter(col("bucket").isin(buckets: _*) && cond)
+        .select("field", "term", "df", "pv")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      missing.foreach(k => statsCache.put(k, found.get(k)))
+    }
+    q.terms.flatMap(k => statsCache.get(k).map(v => k -> v)).toMap
   }
 
   /** Top-k (docId, score), exact BM25 over the AND intersection. */
