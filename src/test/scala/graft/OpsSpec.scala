@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps, Transcripts}
+
+/** Local assertions for the training-data ops (the driver gate additionally
+  * value-checks each against DuckDB). */
+class OpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  test("minhash LSH candidates ⊇ high-jaccard pairs (recall) and verify filters correctly") {
+    val exact = Dedup.jaccardPairs(docs, 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at J>=0.95 with 4x4 bands, collision probability ~1 - (1-j^4)^4 > 0.99
+    val recall = if (exact.isEmpty) 1.0 else (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall")
+    // LSH output is verified with exact jaccard, so no false positives
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash: identical docs get identical signatures; signatures are 32-bit") {
+    val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.size == docs.count())
+    assert(sigs.values.forall(s => s >= 0 && s <= 0xffffffffL))
+    // docs with jaccard 1.0 (identical token SETS) may differ in tf, so only
+    // check: exact-duplicate token BAGS -> equal simhash
+    val bags = docs.collect().map { r =>
+      r.getLong(0) -> graft.analyze.TextAnalyzer.tokens(r.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val byBag = bags.groupBy(_._2).values.filter(_.length > 1)
+    byBag.foreach { group =>
+      val ss = group.map { case (id, _) => sigs(id) }.distinct
+      assert(ss.length == 1)
+    }
+  }
+
+  test("exact dedup keeps min doc_id per content hash") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == docs.count())
+    val byHash = out.groupBy(_.getString(1))
+    byHash.values.foreach { g =>
+      val keepers = g.filter(_.getBoolean(2))
+      assert(keepers.length == 1)
+      assert(keepers(0).getLong(0) == g.map(_.getLong(0)).min)
+      assert(g.forall(_.getLong(3) == g.length))
+    }
+  }
+
+  test("brute-force cosine top-k is ordered and self-consistent") {
+    val top = Similarity.cosineTopK(spark, sf, 0, 10).collect()
+    assert(top.length == 10)
+    val cos = top.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    assert(!top.exists(_.getLong(0) == 0L)) // query vec excluded
+  }
+
+  test("lsh buckets partition all vectors") {
+    val bk = Similarity.lshBuckets(spark, sf).collect()
+    val total = bk.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(bk.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 256))
+  }
+
+  test("text ops: quality in [0,1], token counts consistent, langid deterministic") {
+    val q = TextOps.qualityScore(docs).collect()
+    assert(q.forall(r => r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0))
+    val tc = TextOps.tokenCounts(docs).collect()
+    tc.foreach { r =>
+      assert(r.getInt(3) == r.getLong(4).toInt) // n_chars_computed == n_chars column
+    }
+    val l1 = TextOps.langId(docs).collect().map(r => (r.getLong(0), r.getString(2)))
+    val l2 = TextOps.langId(docs).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(l1.toSeq == l2.toSeq)
+  }
+
+  test("multimodal: stub decode is deterministic, schema typed, batched per partition") {
+    val m1 = Multimodal.extractMeta(spark, docs).collect()
+    val m2 = Multimodal.extractMeta(spark, docs.repartition(7)).collect()
+      .sortBy(_.getLong(0))
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq) // partitioning-invariant
+    m1.foreach { r =>
+      assert(r.getString(2).length == 64) // sha256 hex
+      val (w, h, fr) = (r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(w >= 320 && w < 1920 + 320 && h >= 240 && fr >= 1)
+    }
+  }
+
+  test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
+    val t = Transcripts.fromDocuments(spark, sf)
+    val sorted = t.select("doc_id", "conv_id", "turn_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byKey = sorted.sortBy(x => (x._2, x._3)).map(_._1)
+    assert(byKey.toSeq == byKey.toSeq.sorted)
+  }
+}
