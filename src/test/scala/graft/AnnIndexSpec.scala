@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnIndex, Similarity}
+
+/** LSH-bucketed ANN: partition pruning + recall vs exact brute force. */
+class AnnIndexSpec extends SparkFunSuite {
+
+  val sf = "/root/testdata/sf0.01"
+  lazy val dir: String = {
+    val d = SparkSpec.tmpDir("graft-ann")
+    AnnIndex.build(spark, spark.read.parquet(s"$sf/embeddings.parquet"), d)
+    d
+  }
+
+  test("index is bucket-partitioned and covers all vectors") {
+    val n = spark.read.parquet(dir).count()
+    assert(n == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    val dirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("bucket="))
+    assert(dirs > 10, s"only $dirs buckets")
+  }
+
+  test("query scan is partition-pruned to the probe buckets") {
+    val probes = AnnIndex.probeBuckets(42)
+    assert(probes.length == AnnIndex.SigBits + 1 && probes.distinct.length == probes.length)
+    val df = spark.read.parquet(dir).filter(col("bucket").isin(probes: _*))
+    df.collect()
+    val parts = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(parts.exists(_ <= probes.length), s"scanned $parts partitions")
+  }
+
+  test("ANN recall@10 vs exact brute force is reasonable for Hamming-1 probing") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val total = emb.count().toDouble
+    val (recalls, coverages) = queries.map { case (qid, vec) =>
+      val exact = Similarity.cosineTopK(spark, sf, qid, 10).collect().map(_.getLong(0)).toSet
+      val probed = AnnIndex.query(spark, dir, vec, 11).collect()
+      val approx = probed.map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      val buckets = AnnIndex.probeBuckets(
+        spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("vec_id") === qid)
+          .select("bucket").collect()(0).getInt(0))
+      val scanned = spark.read.parquet(dir)
+        .filter(org.apache.spark.sql.functions.col("bucket").isin(buckets: _*)).count().toDouble
+      ((exact intersect approx).size.toDouble / exact.size, scanned / total)
+    }.unzip
+    val meanR = recalls.sum / recalls.length
+    val meanC = coverages.sum / coverages.length
+    // the test embeddings are ISOTROPIC RANDOM vectors (near-orthogonal),
+    // where sign-LSH recall approaches the scanned fraction by construction;
+    // the invariant that must hold for ANY data: recall >= what scanning the
+    // same fraction uniformly at random would give. Real (clustered)
+    // embeddings are where LSH recall climbs far above coverage.
+    assert(meanR >= meanC, f"mean recall $meanR%.3f below coverage $meanC%.3f")
+  }
+}
