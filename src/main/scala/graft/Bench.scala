@@ -71,6 +71,20 @@ object Bench {
     // ---- 2. index build + query latency at local[cpus] ----
     val idxDir = s"/tmp/graft-bench-idx-$cpus"
     val buildSec = buildOnce(spark, benchTurns, idxDir)
+    spark.stop()
+    // serving profile: AQE off — adaptive re-planning costs ~80 ms per
+    // interactive query and buys nothing for 1-2-task top-k jobs (it stays
+    // on for builds, where it right-sizes the big shuffles)
+    spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-serve")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", Sessions.localDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     val engine = new QueryEngine(spark, idxDir)
     // warmup once, then 5 reps per query, collect all latencies
     QuerySet.foreach { case (_, q) => engine.topK(q).collect() }

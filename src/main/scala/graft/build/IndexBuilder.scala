@@ -51,6 +51,10 @@ final case class IndexManifest(
 
 object IndexBuilder {
 
+  /** Bumped on any change to the on-disk index layout; stamped into buildId
+    * so cached indexes from older code are detected as stale. */
+  val LayoutVersion = 1
+
   /** Term -> shard bucket. String.hashCode is JVM-spec-stable; stands in for
     * the reference's murmur3 HashId (LogParser.java:26-31). */
   def bucketOf(term: String, buckets: Int): Int = (term.hashCode & 0x7fffffff) % buckets
@@ -130,7 +134,7 @@ object IndexBuilder {
     val numDocs = statsRow.getLong(0)
     val avgdl = Fields.zipWithIndex.map { case (f, i) => f -> statsRow.getDouble(i + 1) }.toMap
     phase("docids+count+avgdl")
-    val buildId = f"build-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d"
+    val buildId = f"build-v${IndexBuilder.LayoutVersion}%d-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d"
 
     // docstore: sorted by docId => parquet min/max rowgroup pruning on fetch.
     // DocIds.assign already range-partitioned + sorted by (conv_id, turn_idx)

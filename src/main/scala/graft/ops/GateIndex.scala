@@ -21,7 +21,8 @@ object GateIndex {
       // rebuild if absent or stale (different corpus size)
       val needBuild = try {
         val m = IndexBuilder.readManifest(spark, dir)
-        m.numDocs != turns.count()
+        m.numDocs != turns.count() ||
+          !m.buildId.startsWith(s"build-v${IndexBuilder.LayoutVersion}-")
       } catch { case _: Throwable => true }
       if (needBuild) {
         val fs = new org.apache.hadoop.fs.Path(dir)

@@ -167,9 +167,28 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     val avgdls = terms.map { case (f, _) => manifest.avgdl(f) }
     val kLocal = localK
 
-    rows.groupByKey(_._3).flatMapGroups { (chunk, it) =>
-      QueryKernel.scoreChunk(terms, idfs, avgdls, kLocal, it)
-    }
+    // shuffle sized to the REAL key space: the chunk count is known from the
+    // manifest, so a short query over a small index runs 1-2 tasks instead
+    // of spark.sql.shuffle.partitions mostly-empty ones (measured ~1.5x
+    // lower latency); at scale this saturates at the session parallelism.
+    val numChunks = math.max(1L, (manifest.numDocs + manifest.chunkDocs - 1) / manifest.chunkDocs)
+    val p = math.min(numChunks, spark.sessionState.conf.numShufflePartitions.toLong).toInt
+    rows
+      .repartition(p, col("chunk"))
+      .sortWithinPartitions("chunk")
+      .mapPartitions { it =>
+        // stream consecutive same-chunk runs into the kernel
+        val buf = it.buffered
+        new Iterator[Iterator[(Long, Double)]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Double)] = {
+            val chunk = buf.head._3
+            val group = scala.collection.mutable.ArrayBuffer[(String, String, Long, Array[Byte])]()
+            while (buf.hasNext && buf.head._3 == chunk) group += buf.next()
+            QueryKernel.scoreChunk(terms, idfs, avgdls, kLocal, group.iterator)
+          }
+        }.flatten
+      }
   }
 }
 
