@@ -112,13 +112,17 @@ object SparkEntry {
         .orderBy("n_name", "o_orderpriority")
     }),
     "rel_window_running" -> ((s, dir) => {
+      // ordering includes l_quantity so tied rows are value-identical, and
+      // the frame is explicitly ROWS (Spark's default with orderBy is RANGE,
+      // which sums ALL peers of a tie — diverges from the SQL ROWS frame)
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate"), col("l_quantity"))
         .withColumn("rn", row_number().over(w))
-        .withColumn("run_qty", sum("l_quantity").over(w)) // ordered sum: exact parity
+        .withColumn("run_qty", sum("l_quantity").over(wRows)) // ordered sum: exact parity
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("rn"), col("run_qty"))
         .orderBy("l_suppkey", "rn")
@@ -255,7 +259,7 @@ object SparkEntry {
         |  CAST(row_number() OVER w AS INT) AS rn,
         |  sum(l_quantity) OVER w AS run_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, rn""".stripMargin,
     "rel_topk_orders" ->

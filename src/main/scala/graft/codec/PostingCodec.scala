@@ -11,8 +11,12 @@ import graft.model.Posting
   * inverted_index_gz_client.go:130-145). Differences by design (SURVEY §2.10):
   *  - the (uv, pv) sentinel header element becomes explicit df/pv columns on
   *    the posting table row, not element 0 of the list;
-  *  - entries carry (tf, dl) for local BM25 scoring instead of rowIndex
-  *    (docId alone addresses a turn);
+  *  - entries carry tf for BM25 scoring instead of rowIndex (docId alone
+  *    addresses a turn); doc length (dl) is NOT per posting — it lives in a
+  *    per-chunk norms sidecar (Lucene-style norms: dl is per (field, doc),
+  *    storing it per posting would repeat it ~df times — measured ~30%
+  *    of index bytes). Readers take a `dlOf: docId => dl` lookup backed by
+  *    the chunk's norm array.
   *  - postings are cut into fixed-size blocks, each with (lastDocId,
   *    maxScore) — the block-max metadata WAND uses to skip blocks.
   *
@@ -21,8 +25,12 @@ import graft.model.Posting
   *   repeat per block:
   *     count, firstDocIdDelta(from prev block's lastDocId; absolute for the
   *     first block), lastDocIdDeltaFromFirst, maxScore(8B IEEE double),
-  *     then `count` entries: docIdDelta, tf, dl
+  *     then `count` entries: docIdDelta, tf
   *     (the first entry's docIdDelta is from the block's firstDocId, i.e. 0).
+  *
+  * Norms sidecar layout: count varint, then `count` dl varints, direct-
+  * indexed by (docId - chunk*chunkDocs) — docIds are rank-dense so the
+  * array has no holes.
   */
 object PostingCodec {
 
@@ -106,7 +114,6 @@ object PostingCodec {
         val p = postings(j)
         buf.putVarLong(p.docId - prev)
         buf.putVarLong(p.tf.toLong)
-        buf.putVarLong(p.dl.toLong)
         prev = p.docId
         j += 1
       }
@@ -119,8 +126,9 @@ object PostingCodec {
 
   // ---- decode ----
 
-  /** Full decode — used by tests and non-WAND paths. */
-  def decode(bytes: Array[Byte]): Array[Posting] = {
+  /** Full decode — used by tests and non-WAND paths. `dlOf` resolves doc
+    * length from the chunk's norms array (identity for tf-only callers). */
+  def decode(bytes: Array[Byte], dlOf: Long => Int = _ => 0): Array[Posting] = {
     val r = new ByteReader(bytes)
     val n = r.getVarLong().toInt
     r.getVarLong() // blockSize
@@ -138,8 +146,7 @@ object PostingCodec {
       while (j < count) {
         val doc = prev + r.getVarLong()
         val tf = r.getVarLong().toInt
-        val dl = r.getVarLong().toInt
-        out(k) = Posting(doc, tf, dl)
+        out(k) = Posting(doc, tf, dlOf(doc))
         prev = doc
         k += 1
         j += 1
@@ -157,7 +164,7 @@ object PostingCodec {
     * stored lastDocId without decoding their entries; `blockMaxScore` exposes
     * the current block's max BM25 contribution for block-max pruning.
     */
-  final class Cursor(bytes: Array[Byte]) {
+  final class Cursor(bytes: Array[Byte], dlOf: Long => Int = _ => 0) {
     private val r = new ByteReader(bytes)
     val numPostings: Int = r.getVarLong().toInt
     r.getVarLong() // blockSize (not needed by the reader)
@@ -193,7 +200,7 @@ object PostingCodec {
     /** Skip the rest of the current block WITHOUT decoding entry values. */
     private def skipBlockEntries(): Unit = {
       var j = blkRead
-      while (j < blkCount) { r.getVarLong(); r.getVarLong(); r.getVarLong(); j += 1 }
+      while (j < blkCount) { r.getVarLong(); r.getVarLong(); j += 1 }
       readTotal += (blkCount - blkRead)
       blkRead = blkCount
       prevBlockLast = blkLast
@@ -205,7 +212,7 @@ object PostingCodec {
       val delta = r.getVarLong()
       docId = if (blkRead == 0) blkFirst + delta else docId + delta
       tf = r.getVarLong().toInt
-      dl = r.getVarLong().toInt
+      dl = dlOf(docId)
       blkRead += 1
       readTotal += 1
       if (blkRead == blkCount) prevBlockLast = blkLast
@@ -230,5 +237,30 @@ object PostingCodec {
       }
       false // unreachable
     }
+  }
+
+  // ---- norms sidecar (per-chunk dl arrays) ----
+
+  def encodeNorms(dls: Array[Int]): Array[Byte] = {
+    val buf = new ByteBuf(dls.length + 8)
+    buf.putVarLong(dls.length.toLong)
+    var i = 0
+    while (i < dls.length) { buf.putVarLong(dls(i).toLong); i += 1 }
+    buf.toArray
+  }
+
+  def decodeNorms(bytes: Array[Byte]): Array[Int] = {
+    val r = new ByteReader(bytes)
+    val n = r.getVarLong().toInt
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = r.getVarLong().toInt; i += 1 }
+    out
+  }
+
+  /** dl lookup over a chunk's norm array (base = chunk * chunkDocs). */
+  def dlLookup(norms: Array[Int], baseDocId: Long): Long => Int = { docId =>
+    val i = (docId - baseDocId).toInt
+    if (i >= 0 && i < norms.length) norms(i) else 0
   }
 }

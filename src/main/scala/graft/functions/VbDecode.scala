@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 import graft.codec.PostingCodec
 
 /** `vb_decode(blob)` — Catalyst expression decoding a delta+varbyte posting
-  * blob into `array<struct<docId:long, tf:int, dl:int>>` (SURVEY.md §2.10:
+  * blob into `array<struct<docId:long, tf:int>>` (SURVEY.md §2.10:
   * the protobuf varint codec of poseidon_if.proto:28-33 as a plan-level
   * function). CodegenFallback: the decode loop is byte-wise scalar work with
   * no gain from codegen, and it sits outside hot query paths (the WAND
@@ -32,7 +32,7 @@ case class VbDecode(child: Expression) extends UnaryExpression with CodegenFallb
     val rows = new Array[Any](ps.length)
     var i = 0
     while (i < ps.length) {
-      rows(i) = InternalRow(ps(i).docId, ps(i).tf, ps(i).dl)
+      rows(i) = InternalRow(ps(i).docId, ps(i).tf)
       i += 1
     }
     new GenericArrayData(rows): ArrayData
@@ -45,8 +45,7 @@ case class VbDecode(child: Expression) extends UnaryExpression with CodegenFallb
 object VbDecode {
   val outType: DataType = ArrayType(StructType(Seq(
     StructField("docId", LongType, nullable = false),
-    StructField("tf", IntegerType, nullable = false),
-    StructField("dl", IntegerType, nullable = false))), containsNull = false)
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
 
   /** Column form; requires register(spark) once per session. */
   def vb_decode(c: Column): Column =

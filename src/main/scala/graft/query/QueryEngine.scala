@@ -64,6 +64,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   // relation; partition pruning still applies per filter)
   private lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
   private lazy val termstats: DataFrame = spark.read.parquet(s"$dir/termstats")
+  private lazy val norms: DataFrame = spark.read.parquet(s"$dir/norms")
   lazy val docstore: DataFrame = spark.read.parquet(s"$dir/docstore")
 
   // driver-side term-dictionary cache: repeated queries skip the stats job
@@ -157,9 +158,18 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
 
     val buckets = q.terms.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
     val cond = q.terms.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
-    val rows = postings
+    val prows = postings
       .filter(col("bucket").isin(buckets: _*) && cond)
       .select(col("field"), col("term"), col("chunk"), col("blob"))
+    // norms for the query fields, pruned to chunks that actually have
+    // postings (semi-join on a tiny distinct set) — they ride the same
+    // chunk shuffle under a sentinel term
+    val fields = q.terms.map(_._1).distinct
+    val nrows = norms
+      .filter(col("field").isin(fields: _*))
+      .join(prows.select("chunk").distinct(), Seq("chunk"), "left_semi")
+      .select(col("field"), lit(QueryKernel.NormsTerm).as("term"), col("chunk"), col("blob"))
+    val rows = prows.unionAll(nrows)
       .as[(String, String, Long, Array[Byte])]
 
     val terms = q.terms.toArray
@@ -171,6 +181,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     // manifest, so a short query over a small index runs 1-2 tasks instead
     // of spark.sql.shuffle.partitions mostly-empty ones (measured ~1.5x
     // lower latency); at scale this saturates at the session parallelism.
+    val chunkDocsL = manifest.chunkDocs
     val numChunks = math.max(1L, (manifest.numDocs + manifest.chunkDocs - 1) / manifest.chunkDocs)
     val p = math.min(numChunks, spark.sessionState.conf.numShufflePartitions.toLong).toInt
     rows
@@ -185,7 +196,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
             val chunk = buf.head._3
             val group = scala.collection.mutable.ArrayBuffer[(String, String, Long, Array[Byte])]()
             while (buf.hasNext && buf.head._3 == chunk) group += buf.next()
-            QueryKernel.scoreChunk(terms, idfs, avgdls, kLocal, group.iterator)
+            QueryKernel.scoreChunk(terms, idfs, avgdls, chunk * chunkDocsL, kLocal, group.iterator)
           }
         }.flatten
       }
@@ -222,6 +233,9 @@ class MultiDayEngine(spark: SparkSession, dayDirs: Seq[(String, String)]) {
   */
 object QueryKernel extends Serializable {
 
+  /** Sentinel term carrying a chunk's norms blob through the shuffle. */
+  val NormsTerm = "\u0000norms"
+
   /** Conjunctive document-at-a-time traversal with block-max skipping.
     *
     * The driver cursor is the rarest term (fewest postings in this chunk,
@@ -237,16 +251,26 @@ object QueryKernel extends Serializable {
       terms: Array[(String, String)],
       idfs: Array[Double],
       avgdls: Array[Double],
+      baseDocId: Long,
       k: Int,
       it: Iterator[(String, String, Long, Array[Byte])]): Iterator[(Long, Double)] = {
 
     val blobs = scala.collection.mutable.HashMap[(String, String), Array[Byte]]()
-    it.foreach { case (f, t, _, b) => blobs((f, t)) = b }
+    val normBlobs = scala.collection.mutable.HashMap[String, Array[Byte]]()
+    it.foreach { case (f, t, _, b) =>
+      if (t == NormsTerm) normBlobs(f) = b else blobs((f, t)) = b
+    }
     // AND: every query term must exist in this chunk
     if (terms.exists(t => !blobs.contains(t))) return Iterator.empty
 
+    val dlOfField: Map[String, Long => Int] = terms.map(_._1).distinct.map { f =>
+      val blob = normBlobs.getOrElse(f,
+        throw new IllegalStateException(s"norms missing for field $f in chunk base $baseDocId"))
+      f -> PostingCodec.dlLookup(PostingCodec.decodeNorms(blob), baseDocId)
+    }.toMap
+
     val nT = terms.length
-    val cursors = Array.tabulate(nT)(i => new PostingCodec.Cursor(blobs(terms(i))))
+    val cursors = Array.tabulate(nT)(i => new PostingCodec.Cursor(blobs(terms(i)), dlOfField(terms(i)._1)))
     val order = Array.range(0, nT).sortBy(i => cursors(i).numPostings)
     val drv = cursors(order(0))
     val drvIdx = order(0)

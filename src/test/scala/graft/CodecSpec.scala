@@ -21,26 +21,45 @@ class CodecSpec extends AnyFunSuite {
 
   private val score = (tf: Int, dl: Int) => tf.toDouble / (dl + 1)
 
-  test("round-trip: decode(encode(xs)) == xs for sorted postings") {
+  private def dlOf(ps: Array[Posting]): Long => Int = {
+    val m = ps.map(p => p.docId -> p.dl).toMap
+    d => m(d)
+  }
+
+  test("round-trip: decode(encode(xs)) == xs for sorted postings (dl via norms lookup)") {
     val rnd = new Random(1)
     (1 to 100).foreach { _ =>
       val ps = randomPostings(rnd)
       val bytes = PostingCodec.encode(ps, score, blockSize = 16)
-      assert(PostingCodec.decode(bytes).toSeq == ps.toSeq)
+      assert(PostingCodec.decode(bytes, dlOf(ps)).toSeq == ps.toSeq)
     }
   }
 
   test("round-trip with default block size and large docIds") {
     val ps = Array.tabulate(1000)(i => Posting(1000000000000L + i * 7L, i % 17 + 1, i % 63 + 1))
     val bytes = PostingCodec.encode(ps, score)
-    assert(PostingCodec.decode(bytes).toSeq == ps.toSeq)
+    assert(PostingCodec.decode(bytes, dlOf(ps)).toSeq == ps.toSeq)
+  }
+
+  test("norms sidecar: encode/decode round-trip and dlLookup") {
+    val rnd = new Random(9)
+    (1 to 50).foreach { _ =>
+      val dls = Array.fill(rnd.nextInt(3000))(rnd.nextInt(5000))
+      assert(PostingCodec.decodeNorms(PostingCodec.encodeNorms(dls)).toSeq == dls.toSeq)
+      if (dls.nonEmpty) {
+        val look = PostingCodec.dlLookup(dls, 1000L)
+        assert(look(1000L) == dls(0))
+        assert(look(1000L + dls.length - 1) == dls.last)
+        assert(look(999L) == 0 && look(1000L + dls.length) == 0)
+      }
+    }
   }
 
   test("cursor walks every posting in order") {
     val rnd = new Random(2)
     (1 to 100).foreach { _ =>
       val ps = randomPostings(rnd)
-      val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 8))
+      val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 8), dlOf(ps))
       val seen = scala.collection.mutable.ArrayBuffer[Posting]()
       while (c.advance()) seen += Posting(c.docId, c.tf, c.dl)
       assert(seen.toSeq == ps.toSeq)
@@ -53,7 +72,7 @@ class CodecSpec extends AnyFunSuite {
       val ps = randomPostings(rnd, 300)
       if (ps.nonEmpty) {
         val target = rnd.nextLong(ps.last.docId + 100)
-        val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 4))
+        val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 4), dlOf(ps))
         val expected = ps.find(_.docId >= target)
         val found = c.advanceTo(target)
         expected match {
@@ -68,7 +87,7 @@ class CodecSpec extends AnyFunSuite {
 
   test("advanceTo is monotone across repeated calls") {
     val ps = Array.tabulate(500)(i => Posting(i * 10L, 1 + i % 5, 10 + i % 20))
-    val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 32))
+    val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 32), dlOf(ps))
     assert(c.advanceTo(95) && c.docId == 100)
     assert(c.advanceTo(100) && c.docId == 100) // no-move when already satisfied
     assert(c.advanceTo(101) && c.docId == 110)
@@ -81,7 +100,7 @@ class CodecSpec extends AnyFunSuite {
     (1 to 50).foreach { _ =>
       val ps = randomPostings(rnd, 400)
       if (ps.length > 10) {
-        val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 7))
+        val c = new PostingCodec.Cursor(PostingCodec.encode(ps, score, blockSize = 7), dlOf(ps))
         var i = -1 // index of current posting in ps
         var continue = true
         while (continue) {
@@ -104,7 +123,7 @@ class CodecSpec extends AnyFunSuite {
   test("block max scores bound every posting's score in the block") {
     val ps = Array.tabulate(300)(i => Posting(i * 3L, 1 + (i * 13) % 40, 5 + (i * 7) % 90))
     val bytes = PostingCodec.encode(ps, score, blockSize = 16)
-    val c = new PostingCodec.Cursor(bytes)
+    val c = new PostingCodec.Cursor(bytes, dlOf(ps))
     while (c.advance()) {
       assert(score(c.tf, c.dl) <= c.blockMaxScore + 1e-12)
       assert(c.docId <= c.blockLastDocId)
@@ -122,7 +141,7 @@ class CodecSpec extends AnyFunSuite {
   test("compression: 1000 dense postings fit well under raw size") {
     val ps = Array.tabulate(1000)(i => Posting(i.toLong * 2, 1, 30))
     val bytes = PostingCodec.encode(ps, score)
-    // raw = 1000 * (8+4+4) = 16000 bytes; delta+varbyte should be ~3 B/posting
-    assert(bytes.length < 5000, s"got ${bytes.length}")
+    // raw = 1000 * (8+4) = 12000 bytes; delta+varbyte ~2 B/posting
+    assert(bytes.length < 3500, s"got ${bytes.length}")
   }
 }

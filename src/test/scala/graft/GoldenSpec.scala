@@ -11,7 +11,7 @@ import graft.gen.TranscriptGen
   */
 class GoldenSpec extends SparkFunSuite {
 
-  val ExpectedDigest = "c6deff59e90f3de94efc5b6bcbf50172"
+  val ExpectedDigest = "6ccd715d6f21bb4c2dc3f14ab64a0650"
 
   test("index layout digest is stable") {
     val dir = SparkSpec.tmpDir("graft-golden")
@@ -28,6 +28,11 @@ class GoldenSpec extends SparkFunSuite {
         r.getAs[Array[Byte]](5).map("%02x".format(_)).mkString))
       .sortBy(t => (t._1, t._2, t._4))
       .foreach { t => feed(t.toString) }
+    spark.read.parquet(s"$dir/norms")
+      .select("field", "chunk", "blob").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString))
+      .sortBy(t => (t._1, t._2))
+      .foreach(t => feed(t.toString))
     spark.read.parquet(s"$dir/termstats")
       .select("field", "term", "df", "pv").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -16,17 +16,17 @@ class VbDecodeSpec extends SparkFunSuite {
     val df = Seq((1, blob)).toDF("id", "blob")
     df.createOrReplaceTempView("blobs")
 
-    // SQL form
+    // SQL form (dl lives in the norms sidecar, not in the blob)
     val viaSql = spark.sql(
-      "SELECT p.docId, p.tf, p.dl FROM blobs LATERAL VIEW explode(vb_decode(blob)) AS p")
-      .collect().map(r => Posting(r.getLong(0), r.getInt(1), r.getInt(2)))
-    assert(viaSql.toSeq == ps.toSeq)
+      "SELECT p.docId, p.tf FROM blobs LATERAL VIEW explode(vb_decode(blob)) AS p")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaSql.toSeq == ps.map(p => (p.docId, p.tf)).toSeq)
 
     // Column form
     val viaCol = df.select(org.apache.spark.sql.functions.explode(VbDecode.vb_decode($"blob")).as("p"))
-      .select("p.docId", "p.tf", "p.dl")
-      .collect().map(r => Posting(r.getLong(0), r.getInt(1), r.getInt(2)))
-    assert(viaCol.toSeq == ps.toSeq)
+      .select("p.docId", "p.tf")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaCol.toSeq == ps.map(p => (p.docId, p.tf)).toSeq)
 
     // null safety
     val n = spark.sql("SELECT vb_decode(CAST(NULL AS BINARY))").collect()
