@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.analyze.Analyzers
 import graft.build.IndexBuilder
 import graft.codec.PostingCodec
-import graft.model.CorpusStats
 
 /** A parsed search: ordered unique (field, term) pairs ANDed together —
   * the reference's `keywords{field: "tok1\ttok2..."}` request surface
