@@ -173,6 +173,7 @@ object SparkEntry {
 
     // ---- similarity search ----
     "ann_cosine_top10" -> ((s, dir) => Similarity.cosineTopK(s, dir, 0, 10)),
+    "dedup_embed" -> ((s, dir) => Similarity.embedDupPairs(s, dir, 0.4)),
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
 
     // ---- text analysis ----
@@ -346,6 +347,17 @@ object SparkEntry {
         |  FROM embeddings e WHERE e.vec_id <> 0)
         |SELECT vec_id, label, round(dot / (na * nb), 6) AS cos
         |FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "dedup_embed" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q) /
+        |    (sqrt(list_reduce(list_transform(a.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (p, q) -> p + q)) *
+        |     sqrt(list_reduce(list_transform(b.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (p, q) -> p + q))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(cos, 6) AS cos FROM s WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
     "ann_lsh_buckets" -> {
       val bitCols = (0 until Similarity.SigBits).map { j =>
         s"""CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))),

@@ -33,6 +33,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= threshold —
+    * the embedding member of the dedup family (brute-force exact; the
+    * AnnIndex bucket join is the 100 TB candidate-generation path). */
+  def embedDupPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = math.max(64, spark.sessionState.conf.numShufflePartitions)
+    val a = emb.repartition(p)
+      .select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy("a", "b")
+  }
+
   /** Scale path: random-hyperplane LSH bucketing. Hyperplane h(j, d) =
     * deterministic ±1 from the md5-based bit of (j, d) — signature = 8-bit
     * signs of the dot products. Query probes only its bucket (and the result

@@ -127,7 +127,8 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   def fetch(q: SearchQuery): DataFrame = {
     val hits = topK(q)
     val rows = hits.collect() // k rows only
-    if (rows.isEmpty) return hits.sparkSession.emptyDataFrame
+    if (rows.isEmpty) // schema-stable empty result (same columns as the join)
+      return docstore.limit(0).withColumn("score", lit(0.0))
     val ids = rows.map(_.getLong(0))
     docstore
       .filter(col("docId").isin(ids: _*)) // parquet min/max pruning (sorted col)
