@@ -65,6 +65,20 @@ class ResumeSkewSpec extends SparkFunSuite {
     assert(got == exp)
   }
 
+  test("determinism: builds at different parallelism produce identical index content") {
+    val turns = TranscriptGen.turns(spark, 1500, 4).toDF()
+    val cfg = IndexConfig(buckets = 8, chunkDocs = 256)
+    val d2 = SparkSpec.tmpDir("graft-det2")
+    val d7 = SparkSpec.tmpDir("graft-det7")
+    IndexBuilder.build(spark, turns, d2, cfg.copy(docIdPartitions = 2))
+    IndexBuilder.build(spark, turns, d7, cfg.copy(docIdPartitions = 7))
+    assert(postingsContent(d2) == postingsContent(d7))
+    def normsContent(dir: String) = spark.read.parquet(s"$dir/norms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(normsContent(d2) == normsContent(d7))
+  }
+
   test("cap: maxDocsPerTerm truncates to the first N docIds (reference isInvalidData)") {
     val dir = SparkSpec.tmpDir("graft-cap")
     IndexBuilder.build(spark, TranscriptGen.turns(spark, 2000, 4).toDF(), dir,
