@@ -1,6 +1,5 @@
 package graft.build
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
@@ -18,12 +17,19 @@ import org.apache.spark.storage.StorageLevel
   * (service/idgenerator/module/idgenerator.go:80-87) becomes unnecessary —
   * the id is a pure function of the data (SURVEY.md §1.3).
   *
-  * Scalable two-pass shape (no global window, no monotonically_increasing_id,
-  * no extra exchange beyond the one range shuffle):
-  *   1. range-partition + sort by (conv_id, turn_idx), persist;
-  *   2. count rows per partition (P-row collect), prefix-sum to per-partition
-  *      base offsets — the side-file analog, broadcast;
-  *   3. one streamed per-partition pass assigns base + local index.
+  * Scalable two-pass shape (no global window, no monotonically_increasing_id):
+  *   1. range-partition + sort by (conv_id, turn_idx), persist (the persist
+  *      is LOAD-BEARING: re-executing repartitionByRange reseeds its range
+  *      sampling per RDD instance, so unpinned passes could disagree on
+  *      partition boundaries);
+  *   2. per partition, emit (first sort key, row count) — a P-row collect —
+  *      and prefix-sum to base offsets KEYED BY THE FIRST SORT KEY. Keying
+  *      by data instead of partition id matters: TaskContext partition ids
+  *      shift when the plan is consumed inside a union (branch i's tasks see
+  *      ids offset by i*P), which would silently mis-base every id;
+  *   3. one streamed per-partition pass assigns base + local index, looking
+  *      up the base by the partition's own first row. An unknown first key
+  *      fails loudly rather than corrupting ids.
   * The result is invariant under parallelism because the id equals the global
   * rank regardless of where range boundaries fall (DocIdSpec asserts at two
   * partition counts), and the output stays range-partitioned/sorted by docId
@@ -31,11 +37,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object DocIds {
 
-  /** @param df transcript table with at least (conv_id, turn_idx); keys must
-    *           be unique per row (stable turn ordering invariant).
-    * @param numPartitions target range partitions (cluster-sized in prod).
-    */
-  def assign(df: DataFrame, numPartitions: Int = 0): DataFrame = {
+  def assign(df: DataFrame, numPartitions: Int = 0): DataFrame =
+    assignWithHandle(df, numPartitions)._1
+
+  /** Like assign, also returning the pinned intermediate for unpersisting. */
+  def assignWithHandle(df: DataFrame, numPartitions: Int = 0): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -44,28 +50,52 @@ object DocIds {
       .sortWithinPartitions("conv_id", "turn_idx")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // pass 1: per-partition counts -> base offsets (driver sees P rows only)
-    val counts = sorted.groupBy(spark_partition_id().as("_pid")).count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val convIdx = sorted.schema.fieldIndex("conv_id")
+    val turnIdx = sorted.schema.fieldIndex("turn_idx")
+
+    // pass 1: (first key, count) per partition — P rows to the driver
+    val partInfo = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val k1 = first.getString(convIdx)
+        val k2 = first.getInt(turnIdx)
+        var n = 1L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single((k1, k2, n))
+      }
+    }(Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaLong))
+      .collect()
+      .sortBy(t => (t._1, t._2))
+
     var acc = 0L
-    val bases = counts.map { case (pid, c) => val b = acc; acc += c; (pid, b) }.toMap
+    val bases: Map[(String, Int), Long] = partInfo.map { case (k1, k2, n) =>
+      val b = acc; acc += n; (k1, k2) -> b
+    }.toMap
     val basesB = spark.sparkContext.broadcast(bases)
 
-    // pass 2: streamed per-partition rank assignment (no exchange)
+    // pass 2: streamed per-partition rank assignment, base keyed by data
     val outSchema = StructType(sorted.schema.fields :+ StructField("docId", LongType, nullable = false))
     implicit val enc = Encoders.row(outSchema)
-    sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      val base = basesB.value.getOrElse(pid, 0L)
-      var i = 0L
-      it.map { row =>
-        val vals = new Array[Any](row.length + 1)
-        var j = 0
-        while (j < row.length) { vals(j) = row.get(j); j += 1 }
-        vals(row.length) = base + i
-        i += 1
-        new GenericRowWithSchema(vals, outSchema): Row
+    val out = sorted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val head = buf.head
+        val key = (head.getString(convIdx), head.getInt(turnIdx))
+        val base = basesB.value.getOrElse(key,
+          throw new IllegalStateException(s"docId base missing for partition first key $key"))
+        var i = 0L
+        buf.map { row =>
+          val vals = new Array[Any](row.length + 1)
+          var j = 0
+          while (j < row.length) { vals(j) = row.get(j); j += 1 }
+          vals(row.length) = base + i
+          i += 1
+          new GenericRowWithSchema(vals, outSchema): Row
+        }
       }
     }
+    (out, sorted)
   }
 }

@@ -127,7 +127,9 @@ object IndexBuilder {
       tPhase = now
     }
 
-    val docs = DocIds.assign(turns, cfg.docIdPartitions).persist(StorageLevel.MEMORY_AND_DISK)
+    // docs itself is not persisted — every consumer streams a cheap
+    // per-partition pass over DocIds' pinned sorted intermediate
+    val (docs, sortedHandle) = DocIds.assignWithHandle(turns, cfg.docIdPartitions)
     // one job: materialize the cache + count + per-field avgdl together
     val statsRow = docs.select(
       (count(lit(1)) +: Fields.map(f => avg(size(fieldTokens(f))).as(f))): _*).collect()(0)
@@ -264,7 +266,7 @@ object IndexBuilder {
 
     val manifest = IndexManifest(buildId, numDocs, cfg.buckets, cfg.chunkDocs, cfg.blockSize, avgdl)
     writeManifest(fs, new Path(manifestDir, "core.json"), manifest)
-    groupedRaw.unpersist(); docs.unpersist()
+    groupedRaw.unpersist(); sortedHandle.unpersist()
     manifest
   }
 
