@@ -57,8 +57,19 @@ object SearchCli {
         println(f"[$ms%.0f ms]")
       }
 
+    case "explain" :: dir :: kw :: _ =>
+      // show the physical plan of the top-k query: bucket partition pruning,
+      // term pushdown, the chunk exchange, and the top-k tree-reduce
+      val pairs = kw.split(',').toSeq.map { p =>
+        val Array(f, t) = p.split(":", 2)
+        (f, Seq(t))
+      }
+      val q = SearchQuery.of(pairs, 10)
+      val engine = new QueryEngine(spark, dir)
+      engine.topK(q).explain("formatted")
+
     case other =>
-      System.err.println(s"unknown args: $other\nusage: build <src> <dir> [buckets] [chunkDocs] | query <dir> <f:tok,...> [k] [--pv-only]")
+      System.err.println(s"unknown args: $other\nusage: build <src> <dir> [buckets] [chunkDocs] | query <dir> <f:tok,...> [k] [--pv-only] | explain <dir> <f:tok,...>")
       sys.exit(2)
   }
 }
