@@ -44,9 +44,13 @@ object TextAnalyzer extends Analyzer {
   }
 
   override def tokensCol(c: Column): Column =
-    filter(
-      regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0)),
-      t => length(t) >= MinLen && length(t) <= MaxLen)
+    // null text -> empty array, NOT null — tokens() returns Seq.empty and the
+    // two forms must agree strictly (a null here would poison size() in the
+    // norms stage and skew Column-form avgdl vs the Scala oracle)
+    when(c.isNull, array().cast("array<string>")).otherwise(
+      filter(
+        regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0)),
+        t => length(t) >= MinLen && length(t) <= MaxLen))
 }
 
 /** Whole-value keyword analyzer: `trim.toLowerCase` as a single token

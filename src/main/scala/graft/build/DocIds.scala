@@ -66,7 +66,15 @@ object DocIds {
       }
     }(Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaLong))
       .collect()
-      .sortBy(t => (t._1, t._2))
+      // sort first keys in UTF-8 BYTE order (UTF8String), matching
+      // repartitionByRange's partitioner ordering — Java String ordering
+      // diverges for supplementary (non-BMP) characters and would silently
+      // mis-base docIds for such conv_ids
+      .sortWith { (x, y) =>
+        val c = org.apache.spark.unsafe.types.UTF8String.fromString(x._1)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y._1))
+        c < 0 || (c == 0 && x._2 < y._2)
+      }
 
     var acc = 0L
     val bases: Map[(String, Int), Long] = partInfo.map { case (k1, k2, n) =>

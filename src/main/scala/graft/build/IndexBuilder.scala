@@ -119,6 +119,28 @@ object IndexBuilder {
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
 
+    def wipeForNewBuild(buildId: String): Unit = {
+      Seq("docstore", "norms", "postings", "termstats", "_manifest").foreach { d =>
+        fs.delete(new Path(dir, d), true)
+      }
+      fs.mkdirs(manifestDir)
+      val tmp = new Path(manifestDir, ".build_id.txt.tmp")
+      val out = fs.create(tmp, true)
+      out.write(buildId.getBytes("UTF-8"))
+      out.close()
+      fs.rename(tmp, new Path(manifestDir, "build_id.txt"))
+    }
+    def priorBuildId(): Option[String] = {
+      val p = new Path(manifestDir, "build_id.txt")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes); in.close()
+        Some(new String(bytes, "UTF-8"))
+      }
+    }
+
     val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
     var tPhase = System.nanoTime()
     def phase(name: String): Unit = if (verbose) {
@@ -137,6 +159,18 @@ object IndexBuilder {
     val avgdl = Fields.zipWithIndex.map { case (f, i) => f -> statsRow.getDouble(i + 1) }.toMap
     phase("docids+count+avgdl")
     val buildId = f"build-v${IndexBuilder.LayoutVersion}%d-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d"
+
+    // Resume gate: everything under `dir` is trusted ONLY if it was produced
+    // by this exact buildId (layout version + corpus size + config). A
+    // leftover index from an older layout or different config is wiped
+    // whole — resuming "around" it would silently mix incompatible artifacts
+    // (found in round 2: a pre-LayoutVersion postings dir surviving under a
+    // new manifest sent the WAND skip loop spinning on garbage block
+    // metadata). A killed build of the SAME id leaves build_id.txt behind
+    // and resumes as before. NOTE: the id hashes config + numDocs, not
+    // corpus content — resume assumes the same input, like the reference's
+    // begin-docid side files.
+    if (!priorBuildId().contains(buildId)) wipeForNewBuild(buildId)
 
     // docstore: sorted by docId => parquet min/max rowgroup pruning on fetch.
     // DocIds.assign already range-partitioned + sorted by (conv_id, turn_idx)

@@ -10,37 +10,25 @@ import org.apache.spark.sql.functions._
   * reads only its probe buckets' partitions — the same pruning shape as the
   * posting table's term buckets).
   *
-  * Random-hyperplane signatures: bit j = sign(v . h_j), h_j[d] = ±1 derived
-  * from md5("hp-j-d") — deterministic, data-independent, so index and query
-  * agree with no stored model. Multi-probe: query probes its own bucket plus
-  * all Hamming-1 neighbors (flipping low-confidence bits first would be the
-  * next refinement).
+  * Signatures come from the shared `Hyperplanes` constant sign matrix
+  * (computed once on the driver, constant-folded into the plan) — index and
+  * query agree with no stored model. Multi-probe: query probes its own
+  * bucket plus all Hamming-1 neighbors (flipping low-confidence bits first
+  * would be the next refinement).
   */
 object AnnIndex {
 
   val SigBits: Int = Similarity.SigBits // 8 -> 256 buckets
 
-  /** ±1 hyperplane sign for (bit j, dim d) — must match the SQL oracle. */
-  private def signExpr(j: Int): String =
-    s"""CASE WHEN CAST(conv(substr(md5(concat('hp-$j-', CAST(x2 AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 0
-       |     THEN 1.0 ELSE -1.0 END""".stripMargin
-
-  /** Signature bucket of an embedding column (array<float>). */
-  def bucketCol(emb: String): org.apache.spark.sql.Column = {
-    val bits = (0 until SigBits).map { j =>
-      val dot = expr(
-        s"""aggregate(zip_with($emb, sequence(0, size($emb) - 1),
-           |  (x1, x2) -> CAST(x1 AS DOUBLE) * ${signExpr(j)}),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-      when(dot > 0, 1 << j).otherwise(0)
-    }
-    bits.reduce(_ + _)
-  }
+  /** Signature bucket of an embedding column (array<float>, `dim` wide). */
+  def bucketCol(emb: String, dim: Int): org.apache.spark.sql.Column =
+    Hyperplanes.bucketCol(col(emb), SigBits, dim)
 
   /** Build the bucketed index table at `dir` (partitionBy(bucket)). */
   def build(spark: SparkSession, embeddings: DataFrame, dir: String): Unit = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     embeddings
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", dim))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }
 
@@ -50,19 +38,7 @@ object AnnIndex {
 
   /** Top-k by cosine among the probe buckets only (partition-pruned scan). */
   def query(spark: SparkSession, dir: String, queryVec: Array[Float], k: Int): DataFrame = {
-    // driver-side signature of the query vector (same hyperplanes)
-    val sig = (0 until SigBits).map { j =>
-      var dot = 0.0
-      var d = 0
-      while (d < queryVec.length) {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"hp-$j-$d".getBytes("UTF-8"))
-        val nibble = (hex(0) >> 4) & 0xf
-        dot += queryVec(d).toDouble * (if (nibble % 2 == 0) 1.0 else -1.0)
-        d += 1
-      }
-      if (dot > 0) 1 << j else 0
-    }.sum
+    val sig = Hyperplanes.signatureOf(queryVec, SigBits)
     val probes = probeBuckets(sig)
 
     val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)

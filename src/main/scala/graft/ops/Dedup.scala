@@ -1,17 +1,25 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication operators over the `documents` table.
   *
-  * All variants are pure DataFrame pipelines (codegen'd built-ins, no Scala
-  * UDFs in the hot path) whose semantics are reproducible in the DuckDB
-  * oracle. At 100 TB the shapes hold: exact dedup is one hash-aggregate
-  * shuffle on a 32-char key; minhash/LSH explodes each doc into F signature
-  * rows (constant factor) and self-joins on the band key — the classic
-  * band-bucket join whose skew is bounded because band signatures are
-  * near-uniform; the pairwise verify only touches candidate pairs.
+  * Scale shapes (each reproducible in the DuckDB oracle):
+  *  - exact dedup: one hash-aggregate shuffle on a 32-char key;
+  *  - jaccard / minhash verify: documents are first collapsed to DISTINCT
+  *    token sets (one hash-agg — identical sets are the overwhelming
+  *    duplication mode in web corpora), pair work then runs over set groups
+  *    and results expand back to doc pairs. Same-set pairs are emitted
+  *    directly (J = 1 exactly);
+  *  - exact all-pairs verification uses a cartesian-of-BLOCKS shuffle (each
+  *    block ships to its B pair-groups; no broadcast, no driver collect) with
+  *    a compiled merge-intersection kernel per pair. Exact all-pairs is
+  *    inherently O(n^2/blocks) shuffle — the LSH band join below is the
+  *    sub-quadratic candidate generator for corpora where that matters;
+  *  - minhash/LSH: band-bucket self-join over set signatures — the classic
+  *    sub-quadratic candidate path; its verify join is SHUFFLED (never a
+  *    broadcast of the full token-set table).
   */
 object Dedup {
 
@@ -32,25 +40,123 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Exact token-set Jaccard near-dup pairs (the brute-force baseline the
-    * LSH variants approximate): all pairs with J >= threshold.
-    * Blocked self-join on distinct-token count would prune at scale; at gate
-    * scale the straight self-join on crossJoin-with-filter is fine — the
-    * LSH variant below is the 100 TB path.
+  /** doc_id -> sorted distinct token array (the unit of set similarity). */
+  private def tokenSets(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      array_sort(array_distinct(toks(col("text")))).as("ts"))
+
+  /** Distinct-set groups: one row per distinct token set, members = sorted
+    * doc_ids sharing it, sid = min member (stable set key). At 100 TB this
+    * grouping is ALSO the exact-set dedup: J=1 groups collapse before any
+    * pair work. (A group whose member list is itself huge means quadratic
+    * OUTPUT — real pipelines emit a group representative instead; these
+    * operators keep the full pair expansion because the oracle demands it.) */
+  private def setGroups(documents: DataFrame): DataFrame =
+    tokenSets(documents)
+      .groupBy("ts")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("sid", element_at(col("members"), 1))
+
+  /** All within-group doc pairs (identical sets, J exactly 1.0). */
+  private def sameSetPairs(groups: DataFrame): DataFrame = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    groups.select(col("members")).as[Array[Long]]
+      .filter(m => m.length > 1)
+      .flatMap { m =>
+        for { i <- m.indices.iterator; j <- (i + 1) until m.length }
+          yield (m(i), m(j), 1.0)
+      }
+      .toDF("a", "b", "j")
+  }
+
+  /** Jaccard of two SORTED string arrays — merge intersection; integer
+    * counts, double division, same value the oracle's
+    * len(list_intersect)/len(list_distinct(list_concat)) produces. */
+  def jaccardOf(a: Array[String], b: Array[String]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Block count for the exact all-pairs stage (pair-groups = B*(B+1)/2). */
+  private val PairBlocks = 16
+
+  /** Exact token-set Jaccard near-dup pairs — the brute-force member of the
+    * family, kept exact but made distributed:
+    *   1. collapse to distinct-set groups (hash-agg shuffle);
+    *   2. all SET pairs via cartesian-of-blocks: every set row ships to its
+    *      B pair-groups (one shuffle, volume B x data, NO broadcast), a
+    *      merge-intersection kernel scores each pair;
+    *   3. qualifying set pairs expand to member cross-products; same-set
+    *      pairs append with J = 1.
+    * Token-join candidate generation (prefix filter) is deliberately NOT used
+    * here: it is sub-quadratic only when token df is small relative to n, and
+    * the exact operator must hold its worst case. minhashLsh below is the
+    * sub-quadratic approximate path.
     */
   def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
-    val t = documents.select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("ts"))
-    val p = math.max(64, documents.sparkSession.sessionState.conf.numShufflePartitions)
-    // explicit repartition: the nested-loop pair join parallelizes over LEFT
-    // partitions — without this, a handful of input splits serialize the
-    // O(n^2) compare (measured 216s -> ~30s at 5k docs)
-    val a = t.repartition(p).select(col("doc_id").as("a"), col("ts").as("tsa"))
-    val b = t.select(col("doc_id").as("b"), col("ts").as("tsb"))
-    a.join(broadcast(b), col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("tsa"), col("tsb"))).cast("double"))
-      .withColumn("uni", size(array_union(col("tsa"), col("tsb"))).cast("double"))
-      .withColumn("j", col("inter") / col("uni"))
-      .filter(col("j") >= threshold)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val B = PairBlocks
+    val groups = setGroups(documents)
+    val sets: Dataset[(Array[String], Array[Long])] =
+      groups.select(col("ts"), col("members")).as[(Array[String], Array[Long])]
+
+    val tagged = sets.flatMap { case (ts, members) =>
+      val blk = (members(0) % B).toInt
+      (0 until B).iterator.map { o =>
+        val i = math.min(blk, o); val j = math.max(blk, o)
+        (i * B + j, blk, ts, members)
+      }
+    }
+    val thr = threshold
+    val crossPairs = tagged
+      .groupByKey(_._1)
+      .flatMapGroups { (pid: Int, it: Iterator[(Int, Int, Array[String], Array[Long])]) =>
+        val i = pid / B
+        val xs = scala.collection.mutable.ArrayBuffer[(Array[String], Array[Long])]()
+        val ys = scala.collection.mutable.ArrayBuffer[(Array[String], Array[Long])]()
+        it.foreach { case (_, blk, ts, m) =>
+          if (blk == i) xs += ((ts, m)) else ys += ((ts, m))
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        def score(x: (Array[String], Array[Long]), y: (Array[String], Array[Long])): Unit = {
+          val jv = jaccardOf(x._1, y._1)
+          if (jv >= thr) {
+            var p = 0
+            while (p < x._2.length) {
+              var q = 0
+              while (q < y._2.length) {
+                val da = x._2(p); val db = y._2(q)
+                out += ((math.min(da, db), math.max(da, db), jv))
+                q += 1
+              }
+              p += 1
+            }
+          }
+        }
+        if (pid / B == pid % B) { // diagonal group (i == j): within-block pairs
+          var p = 0
+          while (p < xs.length) {
+            var q = p + 1
+            while (q < xs.length) { score(xs(p), xs(q)); q += 1 }
+            p += 1
+          }
+        } else {
+          xs.foreach(x => ys.foreach(y => score(x, y)))
+        }
+        out.iterator
+      }
+      .toDF("a", "b", "j")
+
+    crossPairs.unionAll(sameSetPairs(groups))
       .select(col("a"), col("b"), round(col("j"), 6).as("j"))
       .orderBy("a", "b")
   }
@@ -67,7 +173,9 @@ object Dedup {
   def hashA(j: Int): Long = (1664525L * (j + 1) + 1013904223L) % MinhashP
   def hashB(j: Int): Long = (22695477L * (j + 1) + 12345L) % MinhashP
 
-  /** MinHash signatures over distinct tokens: doc_id, j, mh. */
+  /** MinHash signatures over distinct tokens: doc_id, mh0..mh15 (per doc —
+    * used by specs; the LSH pipeline below computes the same signatures once
+    * per distinct SET instead). */
   def minhash(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
@@ -78,31 +186,87 @@ object Dedup {
     tok.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing at least one band signature, verified
-    * with exact Jaccard, kept when J >= threshold. The scale path for
-    * near-dup at 10^11 docs: band join instead of all-pairs. */
+  /** LSH near-dup pairs — the sub-quadratic 100 TB path:
+    *   1. collapse to distinct-set groups; signatures are a function of the
+    *      token SET, so minhash/banding runs once per distinct set;
+    *   2. band-bucket self-join on (band, band-signature slice) generates
+    *      candidate SET pairs (skew bounded: band signatures are
+    *      near-uniform). Each pair is emitted from its FIRST colliding band
+    *      only (full signatures ride along; a post-join predicate keeps
+    *      band == min matching band) — unique candidates with NO distinct
+    *      shuffle over the candidate set;
+    *   3. verify joins candidates back to the set table (plain shuffled
+    *      joins — AQE may pick broadcast when a side is actually small;
+    *      nothing forces the full token-set table to every executor) and
+    *      scores J with the compiled merge-intersection kernel (the Catalyst
+    *      array_intersect/array_union pair builds hash sets per row — ~10x
+    *      slower on short sorted arrays);
+    *   4. qualifying set pairs expand to member cross-products in the same
+    *      kernel pass; same-set pairs (identical signatures, trivially
+    *      candidates) append with J = 1.
+    */
   def minhashLsh(documents: DataFrame, threshold: Double): DataFrame = {
-    val mh = minhash(documents)
-    val bands = (0 until NumHashes / BandRows).map { b =>
-      val sig = concat_ws("-",
-        (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*)
-      mh.select(col("doc_id"), lit(b).as("band"), sig.as("sig"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val numBands = NumHashes / BandRows
+    val groups = setGroups(documents)
+    val tok = groups.select(col("sid"), explode(col("ts")).as("term"))
+      .withColumn("h", h32(col("term")))
+    val hashes = (0 until NumHashes).map { j =>
+      min((col("h") * hashA(j) + hashB(j)) % MinhashP).as(s"mh$j")
+    }
+    val mh = tok.groupBy("sid").agg(hashes.head, hashes.tail: _*)
+      .select(col("sid"), array((0 until NumHashes).map(j => col(s"mh$j")): _*).as("mhs"))
+    def bandSlice(side: String, b: Int) =
+      slice(col(s"$side.mhs"), b * BandRows + 1, BandRows)
+    val bands = (0 until numBands).map { b =>
+      mh.select(col("sid"), col("mhs"), lit(b).as("band"),
+        slice(col("mhs"), b * BandRows + 1, BandRows).as("sig"))
     }.reduce(_ unionAll _)
-    val p = math.max(64, documents.sparkSession.sessionState.conf.numShufflePartitions)
+    val firstBand = coalesce(
+      (0 until numBands).map(b => when(bandSlice("x", b) === bandSlice("y", b), lit(b))): _*)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-      .repartition(p) // spread candidate pairs before the verify join
-    val t = documents.select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("ts"))
-    cand
-      .join(broadcast(t.select(col("doc_id").as("a"), col("ts").as("tsa"))), "a")
-      .join(broadcast(t.select(col("doc_id").as("b"), col("ts").as("tsb"))), "b")
-      .withColumn("j",
-        size(array_intersect(col("tsa"), col("tsb"))).cast("double") /
-        size(array_union(col("tsa"), col("tsb"))).cast("double"))
-      .filter(col("j") >= threshold)
+        col("x.sid") < col("y.sid"))
+      .filter(col("x.band") === firstBand)
+      .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
+
+    // block-local verify: the heavy token/member ARRAYS ship once per set per
+    // block pair-group (B copies of the m-row set table), the candidate
+    // stream ships as bare (sa, sb) longs to its pair-group; a cogroup then
+    // verifies by hash lookup + merge-intersection kernel. Joining the array
+    // columns onto 10^6+ candidate rows instead (round-1 shape) deserializes
+    // the arrays once PER PAIR — measured 7x slower than this at the gate.
+    val B = PairBlocks
+    val setsTagged = groups
+      .select(col("ts"), col("members")).as[(Array[String], Array[Long])]
+      .flatMap { case (ts, members) =>
+        val blk = (members(0) % B).toInt
+        (0 until B).iterator.map { o =>
+          val i = math.min(blk, o); val j = math.max(blk, o)
+          (i * B + j, ts, members)
+        }
+      }
+    val candTagged = cand.as[(Long, Long)].map { case (sa, sb) =>
+      val i = (sa % B).toInt; val j = (sb % B).toInt
+      (math.min(i, j) * B + math.max(i, j), sa, sb)
+    }
+    val thr = threshold
+    val crossPairs = setsTagged.groupByKey(_._1)
+      .cogroup(candTagged.groupByKey(_._1)) { (_, setsIt, candIt) =>
+        val bySid = scala.collection.mutable.HashMap[Long, (Array[String], Array[Long])]()
+        setsIt.foreach { case (_, ts, m) => bySid(m(0)) = (ts, m) }
+        candIt.flatMap { case (_, sa, sb) =>
+          val (tsa, ma) = bySid(sa)
+          val (tsb, mb) = bySid(sb)
+          val jv = jaccardOf(tsa, tsb)
+          if (jv < thr) Iterator.empty
+          else for { da <- ma.iterator; db <- mb.iterator }
+            yield (math.min(da, db), math.max(da, db), jv)
+        }
+      }
+      .toDF("a", "b", "j")
+    crossPairs.unionAll(sameSetPairs(groups))
       .select(col("a"), col("b"), round(col("j"), 6).as("j"))
       .orderBy("a", "b")
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (vec_id, embedding:
@@ -26,61 +26,97 @@ object Similarity {
       .select(col("embedding").as("b"))
     emb.filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("label"), col("embedding").as("a"))
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(q)) // one k-element row — broadcast is the right call
       .withColumn("cos", round(dotCols / (norm("a") * norm("b")), 6))
       .select(col("vec_id"), col("label"), col("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
 
+  /** Exact cosine of two raw float vectors with the oracle's exact FP shape:
+    * per-accumulator left fold over dims in double (0.0 init adds exactly). */
+  private[ops] def cosineOf(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var d = 0
+    while (d < a.length) {
+      val x = a(d).toDouble; val y = b(d).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      d += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Block count for the exact all-pairs stage. */
+  private val PairBlocks = 8
+
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= threshold —
-    * the embedding member of the dedup family (brute-force exact; the
-    * AnnIndex bucket join is the 100 TB candidate-generation path). */
+    * the embedding member of the dedup family.
+    *
+    * Exact all-pairs made distributed: vectors partition into B blocks by
+    * vec_id; each block ships to its B pair-groups (ONE shuffle, volume
+    * B x data — no broadcast, no O(n^2) nested-loop join operator), and a
+    * compiled float kernel scores each pair. Exact all-pairs is inherently
+    * O(n^2) compares; this is its scale-safe shape — when exactness can be
+    * traded, AnnIndex's bucket join generates candidates sub-quadratically.
+    */
   def embedDupPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val p = math.max(64, spark.sessionState.conf.numShufflePartitions)
-    val a = emb.repartition(p)
-      .select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    a.join(broadcast(b), col("a") < col("b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("cos", col("dot") / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    import spark.implicits._
+    val B = PairBlocks
+    val items: Dataset[(Long, Array[Float])] = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+
+    val tagged = items.flatMap { case (id, v) =>
+      val blk = (id % B).toInt
+      (0 until B).iterator.map { o =>
+        val i = math.min(blk, o); val j = math.max(blk, o)
+        (i * B + j, blk, id, v)
+      }
+    }
+    val thr = threshold
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroups { (pid: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val i = pid / B
+        val xs = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+        val ys = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+        it.foreach { case (_, blk, id, v) =>
+          if (blk == i) xs += ((id, v)) else ys += ((id, v))
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        def score(x: (Long, Array[Float]), y: (Long, Array[Float])): Unit = {
+          val c = cosineOf(x._2, y._2)
+          if (c >= thr)
+            out += ((math.min(x._1, y._1), math.max(x._1, y._1), c))
+        }
+        if (pid / B == pid % B) { // diagonal: within-block pairs
+          var p = 0
+          while (p < xs.length) {
+            var q = p + 1
+            while (q < xs.length) { score(xs(p), xs(q)); q += 1 }
+            p += 1
+          }
+        } else {
+          xs.foreach(x => ys.foreach(y => score(x, y)))
+        }
+        out.iterator
+      }
+      .toDF("a", "b", "cos_raw")
+      .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cos"))
       .orderBy("a", "b")
   }
 
-  /** Scale path: random-hyperplane LSH bucketing. Hyperplane h(j, d) =
-    * deterministic ±1 from the md5-based bit of (j, d) — signature = 8-bit
-    * signs of the dot products. Query probes only its bucket (and the result
-    * reports bucket sizes — the data needed to reason about recall/probe
-    * trade-offs). Signs are integer-exact, so the oracle reproduces them.
-    */
+  /** Random-hyperplane LSH bucket histogram — signature = SigBits sign bits
+    * of dot(v, h_j) with the shared Hyperplanes constant matrix (the md5-
+    * derived ±1 signs are integer-exact, so the oracle reproduces them). */
   val SigBits = 8
 
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // ±1 hyperplanes: sign from a parity-of-md5 bit per (j, dim)
-    val sig = (0 until SigBits).map { j =>
-      // dot_j = Σ_d emb[d] * s(j,d), s = +1 if md5(j:d) lowest bit of first
-      // hex nibble is even else -1 — computable identically in SQL
-      val terms = expr(
-        s"""aggregate(
-           |  zip_with(embedding, sequence(0, size(embedding) - 1),
-           |    (v, d) -> CAST(v AS DOUBLE) *
-           |      CASE WHEN CAST(conv(substr(md5(concat('hp-$j-', CAST(d AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 0
-           |           THEN 1.0 ELSE -1.0 END),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-      when(terms > 0, 1).otherwise(0).as(s"bit$j")
-    }
-    val withBits = emb.select((col("vec_id") +: sig): _*)
-    val bucket = (0 until SigBits).map(j => col(s"bit$j") * (1 << j)).reduce(_ + _)
-    withBits.select(col("vec_id"), bucket.as("bucket"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    emb.select(col("vec_id"),
+        Hyperplanes.bucketCol(col("embedding"), SigBits, dim).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
       .orderBy("bucket")
   }

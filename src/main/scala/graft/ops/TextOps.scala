@@ -76,15 +76,60 @@ object TextOps {
 
   /** Document fingerprint: winnowing-lite — min/max md5-derived hash over
     * 5-gram token shingles (rolling fingerprint of content, stable under
-    * doc-id reshuffling). */
-  def fingerprint(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("toks", Dedup.toks(col("text")))
-      .withColumn("sh", expr(
-        "transform(sequence(0, greatest(size(toks) - 5, 0)), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", Dedup.h32(col("shingle")))
-      .groupBy("doc_id")
-      .agg(min("h").as("fp_min"), max("h").as("fp_max"), count(lit(1)).as("n_shingles"))
+    * doc-id reshuffling).
+    *
+    * A doc's shingles all live in its own row, so min/max/count reduce IN
+    * PLACE: one narrow mapPartitions, zero shuffle, zero explode (round 1
+    * exploded ~50 shingle rows per doc through a hash-agg; at 100 TB that is
+    * a full-corpus shuffle for a per-row reduction). Hash = first 7 hex
+    * chars of md5(shingle) parsed base-16 — bit-identical to the oracle's
+    * CAST('0x'||substr(md5(s),1,7) AS BIGINT) and to Dedup.h32. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val Shingle = 5
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h32(s: String): Long = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 7 hex chars = 3.5 bytes, high nibble first
+          var h = 0L
+          var i = 0
+          while (i < 7) {
+            val b = d(i / 2) & 0xff
+            h = h * 16 + (if (i % 2 == 0) b >> 4 else b & 0xf)
+            i += 1
+          }
+          h
+        }
+        it.map { case (id, text) =>
+          val toks = graft.analyze.TextAnalyzer.tokens(text)
+          // same shingle set as sequence(0, greatest(n-5, 0)): short/empty
+          // docs emit ONE (short) shingle, like the oracle's range form
+          val nSh = math.max(toks.length - Shingle, 0) + 1
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < nSh) {
+            sb.setLength(0)
+            var j = i
+            val end = math.min(i + Shingle, toks.length)
+            while (j < end) {
+              if (j > i) sb.append(' ')
+              sb.append(toks(j))
+              j += 1
+            }
+            val h = h32(sb.toString)
+            if (h < mn) mn = h
+            if (h > mx) mx = h
+            i += 1
+          }
+          (id, mn, mx, nSh.toLong)
+        }
+      }
+      .toDF("doc_id", "fp_min", "fp_max", "n_shingles")
       .orderBy("doc_id")
+  }
 }

@@ -57,6 +57,9 @@ final case class SearchStats(total: Long, pv: Long, uv: Long)
 class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable {
 
   val manifest = IndexBuilder.readManifest(spark, dir)
+  require(manifest.buildId.startsWith(s"build-v${IndexBuilder.LayoutVersion}-"),
+    s"index at $dir has layout '${manifest.buildId}', this reader needs " +
+      s"layout v${IndexBuilder.LayoutVersion} — rebuild the index")
 
   // lazy vals: parquet file listings + schema inference happen once per
   // engine, not once per query (repeated interactive queries hit the cached
@@ -127,8 +130,11 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   def fetch(q: SearchQuery): DataFrame = {
     val hits = topK(q)
     val rows = hits.collect() // k rows only
-    if (rows.isEmpty) // schema-stable empty result (same columns as the join)
+    if (rows.isEmpty) // schema-stable empty result: same COLUMN ORDER as the
+      // join path below (join on Seq("docId") moves docId first)
       return docstore.limit(0).withColumn("score", lit(0.0))
+        .select((col("docId") +: docstore.columns.filterNot(_ == "docId").map(col)
+          :+ col("score")): _*)
     val ids = rows.map(_.getLong(0))
     docstore
       .filter(col("docId").isin(ids: _*)) // parquet min/max pruning (sorted col)
@@ -255,6 +261,8 @@ object QueryKernel extends Serializable {
       k: Int,
       it: Iterator[(String, String, Long, Array[Byte])]): Iterator[(Long, Double)] = {
 
+    if (k <= 0) return Iterator.empty // k=0 top-k is legitimately empty
+
     val blobs = scala.collection.mutable.HashMap[(String, String), Array[Byte]]()
     val normBlobs = scala.collection.mutable.HashMap[String, Array[Byte]]()
     it.foreach { case (f, t, _, b) =>
@@ -296,7 +304,14 @@ object QueryKernel extends Serializable {
         var skipped = true
         while (alive && skipped) {
           if (drv.blockMaxScore + othersCeil <= threshold) {
-            alive = drv.advanceTo(drv.blockLastDocId + 1)
+            val lastBefore = drv.blockLastDocId
+            alive = drv.advanceTo(lastBefore + 1)
+            // no-progress guard: on a corrupt blob (entry docIds beyond the
+            // block's recorded last) advanceTo can return true in place —
+            // fail loudly instead of spinning forever
+            if (alive && drv.blockLastDocId <= lastBefore)
+              throw new IllegalStateException(
+                s"corrupt posting block: lastDocId $lastBefore did not advance (docId=${drv.docId})")
           } else skipped = false
         }
       }

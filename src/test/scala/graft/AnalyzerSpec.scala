@@ -14,8 +14,13 @@ class AnalyzerSpec extends SparkFunSuite {
       "very" + "long" * 20 + "token endshere", "ünïcode émoji ☃ mixed ascii",
       "dash-joined under_scored dot.sep slash/sep", null)
     val df = texts.toDF("text")
+    // STRICT parity: the Column form must never return null (null text ->
+    // empty array), so no coalescing here — a null row fails the getSeq
     val viaCol = df.select(TextAnalyzer.tokensCol(col("text")).as("toks"))
-      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList).getOrElse(Nil))
+      .collect().map { r =>
+        assert(!r.isNullAt(0), "tokensCol returned NULL — must be empty array")
+        r.getSeq[String](0).toList
+      }
     texts.zip(viaCol).foreach { case (t, colToks) =>
       assert(TextAnalyzer.tokens(t).toList == colToks, s"text=<$t>")
     }
@@ -25,7 +30,10 @@ class AnalyzerSpec extends SparkFunSuite {
     val vals = Seq("", "  ", "Grep", " READ_file ", "tool-7", null, "a")
     val df = vals.toDF("v")
     val viaCol = df.select(KeywordAnalyzer.tokensCol(col("v")).as("toks"))
-      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList).getOrElse(Nil))
+      .collect().map { r =>
+        assert(!r.isNullAt(0), "tokensCol returned NULL — must be empty array")
+        r.getSeq[String](0).toList
+      }
     vals.zip(viaCol).foreach { case (v, colToks) =>
       assert(KeywordAnalyzer.tokens(v).toList == colToks, s"v=<$v>")
     }
