@@ -80,6 +80,15 @@ object SparkEntry {
           col("role"), col("text"), round(col("score"), 6).as("score_r"))
         .orderBy(desc("score_r"), asc("docid"))
     }),
+    "ft_filter_fetch" -> ((s, dir) => {
+      // result post-filter (reference req.filter): predicate on stored fields
+      // applied below the top-k cut; 'dup' is rare so the cut never lands on
+      // a tie (same guarantee as ft_bm25_topk)
+      val e = eng(s, dir)
+      e.fetchFiltered(SearchQuery.of(Seq("text" -> Seq("dup")), 30), col("role") === "user")
+        .select(col("docId").as("docid"), col("role"), round(col("score"), 6).as("score_r"))
+        .orderBy(desc("score_r"), asc("docid"))
+    }),
     "ft_pvuv" -> ((s, dir) => {
       import s.implicits._
       val st = eng(s, dir).searchStats(SearchQuery.of(Seq("text" -> Seq("spark")), 1))
@@ -163,6 +172,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "px_chain_url" -> ((s, dir) => {
+      // config-driven tokenizer chain (the reference's tokenizer:{field:[...]}
+      // model) driven end-to-end: the 'url' chain over a synthesized URL whose
+      // STRUCTURE is fixed, so the oracle enumerates the expected variant set
+      // literally — port riding on combos + the public-suffix skip included
+      val chain = graft.analyze.AnalyzerChains.parse("url")
+      val f = udf((u: String) => chain.tokens(u))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://files.data.example.com.cn:9000/pub/"), col("source"), lit("/item")).as("u"))
+        .select(col("doc_id"), posexplode(f(col("u"))))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- training-data pipeline: dedup family ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -238,6 +262,26 @@ object SparkEntry {
     "ft_pvuv" ->
       s"""$T SELECT CAST(count(*) AS BIGINT) AS total, CAST(sum(tf) AS BIGINT) AS pv,
          |CAST(count(*) AS BIGINT) AS uv FROM tf WHERE term = 'spark'""".stripMargin,
+    "ft_filter_fetch" ->
+      s"""${bm25Select("'dup'", 1)}
+         |SELECT q.doc_id AS docid, t.role, round(q.score, 6) AS score_r
+         |FROM q JOIN t ON q.doc_id = t.doc_id
+         |WHERE t.role = 'user'
+         |ORDER BY round(q.score, 6) DESC, q.doc_id LIMIT 30""".stripMargin,
+    "px_chain_url" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    ['https://files.data.example.com.cn:9000/pub/' || source || '/item',
+        |     'files.data.example.com.cn',
+        |     'files.data.example.com.cn:9000',
+        |     'example.com.cn:9000',
+        |     'data.example.com.cn:9000',
+        |     'files.data.example.com.cn:9000/pub',
+        |     'pub/' || source,
+        |     'files.data.example.com.cn:9000/pub/' || source || '/item'] AS L
+        |  FROM documents)
+        |SELECT doc_id, CAST(r.i AS INT) AS pos, L[CAST(r.i AS INT) + 1] AS token
+        |FROM v, range(8) AS r(i) ORDER BY doc_id, pos""".stripMargin,
 
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

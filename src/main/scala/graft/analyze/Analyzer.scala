@@ -18,6 +18,9 @@ trait Analyzer extends Serializable {
   def tokens(text: String): Seq[String]
   /** Column form: array<string> of the same tokens, same order. */
   def tokensCol(c: Column): Column
+  /** Stable config identity (rides into the index buildId so a field whose
+    * analyzer changed is rebuilt, not resumed). */
+  def spec: String = getClass.getSimpleName.stripSuffix("$")
 }
 
 /** Default text analyzer: lowercase, runs of [a-z0-9]+, keep length 2..40.

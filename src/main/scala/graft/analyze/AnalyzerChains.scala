@@ -1,0 +1,151 @@
+package graft.analyze
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{array, col, lit, udf, when}
+
+/** Config-driven composable tokenizer chains — the rebuild of the
+  * reference's whole per-field extension model: `tokenizer: {field:
+  * [f1, f2, ...]}` chained left-to-right through a named-function registry
+  * (builder/index/.../plugin/Function/TokenParser.java:27-58,123-135,
+  * plugin/LogParserFactory.java:11-48, docs/config.md:35-67).
+  *
+  * A chain spec is `"stage|stage|..."`, each stage `name` or `name:param`
+  * (e.g. `"urldecode|url"`, `"split:,|lowercase"`, `"base64decode|text"`).
+  * Each stage transforms a token stream `Seq[String] => Seq[String]`; the
+  * parsed chain IS an `Analyzer`, so any field of an index can be configured
+  * with one (IndexBuilder takes a field->Analyzer map) — a user adds a `url`
+  * field without touching library source.
+  *
+  * Divergence by design: the reference chains `Set[String]` (presence-only —
+  * Poseidon scores nothing); this engine is tf-aware, so chains preserve
+  * duplicates and tf is counted downstream. Variant-generating stages (url,
+  * path) dedupe internally exactly like the reference's per-call Sets.
+  */
+object AnalyzerChains {
+
+  type Stage = Seq[String] => Seq[String]
+
+  /** Registry: name(+param) -> stage. Mirrors TokenParser.Add's dispatch. */
+  def stage(name: String, param: String): Stage = name match {
+    case "text" => _.flatMap(TextAnalyzer.tokens)
+    case "keyword" => _.flatMap(KeywordAnalyzer.tokens)
+    case "lowercase" => // LowerCaseFunction.java:9-23
+      _.map(t => if (t == null) "" else t.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    case "split" => _.flatMap(TokenFunctions.split(param))
+    case "url" => _.flatMap(TokenFunctions.urlVariants)
+    case "path" => _.flatMap(TokenFunctions.pathVariants)
+    case "pathWithUrlencode" => _.flatMap(TokenFunctions.pathUrlencodedVariants)
+    case "ip" => _.flatMap(TokenFunctions.ipVariants)
+    case "urldecode" => _.flatMap(TokenFunctions.urldecode)
+    case "urlencode" => _.flatMap(TokenFunctions.urlencode)
+    case "base64decode" => _.flatMap(TokenFunctions.base64decode)
+    case "base64decodeInflate" => _.flatMap(TokenFunctions.base64decodeInflate)
+    case "regexcheck" =>
+      val keep = TokenFunctions.regexCheck(param)
+      ts => ts.filter(keep)
+    case "cjk" => _.flatMap(CjkBigramAnalyzer.tokens)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer stage '$other' (registry: text keyword lowercase split url " +
+        "path pathWithUrlencode ip urldecode urlencode base64decode base64decodeInflate regexcheck cjk)")
+  }
+
+  /** Parse a chain spec; fails fast on unknown stages. */
+  def parse(spec: String): ChainAnalyzer = {
+    val a = ChainAnalyzer(spec)
+    a.stagesForValidation // force
+    a
+  }
+}
+
+/** A parsed chain as an Analyzer. Carries only the SPEC string (cheap, fully
+  * serializable); stages rebuild lazily per JVM — chains ride into executor
+  * closures (IndexBuilder.termOccs) with no closure-capture hazards.
+  */
+final case class ChainAnalyzer(chainSpec: String) extends Analyzer {
+
+  @transient private lazy val stages: Seq[AnalyzerChains.Stage] =
+    chainSpec.split('|').toSeq.filter(_.nonEmpty).map { s =>
+      val (name, param) = s.indexOf(':') match {
+        case -1 => (s.trim, "")
+        case i => (s.substring(0, i).trim, s.substring(i + 1))
+      }
+      AnalyzerChains.stage(name, param)
+    }
+
+  private[analyze] def stagesForValidation: Seq[AnalyzerChains.Stage] = stages
+
+  override def spec: String = chainSpec
+
+  override def tokens(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    stages.foldLeft(Seq(text))((ts, st) => st(ts))
+  }
+
+  /** Column form: a Scala UDF over tokens(). Chains are for auxiliary fields
+    * (url/path/ip namespaces); the hot `text` field keeps the native
+    * codegen'd TextAnalyzer column. */
+  override def tokensCol(c: Column): Column = {
+    val f = udf((s: String) => tokens(s))
+    when(c.isNull, array().cast("array<string>")).otherwise(f(c))
+  }
+}
+
+/** CJK-capable analyzer: latin runs tokenize under TextAnalyzer's rules; CJK
+  * ideograph runs emit overlapping character BIGRAMS (a lone CJK char emits
+  * itself) — the standard segmentation-free stand-in for the reference's IK
+  * analyzer (plugin/Function/TextFunction.java:16-89; SURVEY §2.3 F1 notes
+  * IK is replaced for latin transcripts). Registered as chain stage "cjk";
+  * exists to prove the Analyzer slot takes a non-trivial segmenter.
+  */
+object CjkBigramAnalyzer extends Analyzer {
+
+  private def isCjk(cp: Int): Boolean =
+    Character.isIdeographic(cp) ||
+      (cp >= 0x3040 && cp <= 0x30ff) || // hiragana + katakana
+      (cp >= 0xac00 && cp <= 0xd7af)    // hangul syllables
+
+  override def spec: String = "cjk"
+
+  override def tokens(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isCjk(cp)) {
+        // collect the CJK run's code points
+        val run = scala.collection.mutable.ArrayBuffer[Int]()
+        var j = i
+        while (j < n && isCjk(text.codePointAt(j))) {
+          val c = text.codePointAt(j)
+          run += c
+          j += Character.charCount(c)
+        }
+        if (run.length == 1) out += new String(Character.toChars(run(0)))
+        else {
+          var r = 0
+          while (r + 1 < run.length) {
+            out += (new String(Character.toChars(run(r))) + new String(Character.toChars(run(r + 1))))
+            r += 1
+          }
+        }
+        i = j
+      } else {
+        // latin/other segment up to the next CJK char -> TextAnalyzer rules
+        val start = i
+        var j = i
+        while (j < n && !isCjk(text.codePointAt(j))) j += Character.charCount(text.codePointAt(j))
+        out ++= TextAnalyzer.tokens(text.substring(start, j))
+        i = j
+      }
+    }
+    out.toSeq
+  }
+
+  override def tokensCol(c: Column): Column = {
+    val f = udf((s: String) => tokens(s))
+    when(c.isNull, array().cast("array<string>")).otherwise(f(c))
+  }
+}

@@ -19,25 +19,47 @@ object TokenFunctions {
   def split(sep: String)(s: String): Seq[String] =
     if (s == null) Seq.empty else s.split(sep).toSeq.filter(_.nonEmpty)
 
-  /** F4 `url`: URI-normalize and emit the reference's variant set — full url,
-    * host, host:port, host/path1, path1/path2, host/p1/p2/p3
-    * (plugin/Util.java:226-313 ParseUrl, UrlFunction.java:11-25). */
+  /** Public-suffix labels the reference skips as the FIRST registrable-domain
+    * combo (Util.java:30-40: com edu gov net org cn hk). */
+  val PublicSuffixes: Set[String] = Set("com", "edu", "gov", "net", "org", "cn", "hk")
+
+  /** F4 `url`: URI-normalize and emit the reference's full variant set
+    * (plugin/Util.java:226-313 ParseUrl, UrlFunction.java:11-25):
+    * full url; host; host:port (the port then rides on every later combo,
+    * like the reference's mutated `host` variable); registrable-domain
+    * suffix combos walked right-to-left, skipping the 2-label suffix whose
+    * left label is a public suffix (e.g. `com.cn`); host/path1; path1/path2;
+    * host/p1/p2/p3. Divergence by design: input is lowercased and a missing
+    * scheme defaults to http:// so bare domains parse. */
   def urlVariants(s: String): Seq[String] = {
     if (s == null || s.isEmpty) return Seq.empty
     val trimmed = s.trim.toLowerCase(java.util.Locale.ROOT)
+    if (trimmed.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.LinkedHashSet[String](trimmed)
     try {
       val withScheme = if (trimmed.contains("://")) trimmed else "http://" + trimmed
-      val u = new URI(withScheme)
-      val host = Option(u.getHost).getOrElse(return Seq(trimmed))
-      val port = u.getPort
+      val u = new URI(withScheme).normalize()
+      var host = Option(u.getHost).getOrElse(return out.toSeq)
+      out += host
+      if (u.getPort > 0) { host = s"$host:${u.getPort}"; out += host }
+      // registrable-domain suffix combos (Util.java:259-273)
+      val parts = host.split('.')
+      val len = parts.length
+      if (len > 2) {
+        var partHost = parts(len - 1)
+        var i = len - 2
+        while (i > 0) {
+          partHost = parts(i) + "." + partHost
+          if (!(i == len - 2 && PublicSuffixes.contains(parts(i)))) out += partHost
+          i -= 1
+        }
+      }
       val segs = Option(u.getPath).getOrElse("").split('/').filter(_.nonEmpty).toSeq
-      val out = scala.collection.mutable.LinkedHashSet[String](trimmed, host)
-      if (port > 0) out += s"$host:$port"
-      if (segs.nonEmpty) out += s"$host/${segs.head}"
+      if (segs.length >= 1) out += s"$host/${segs(0)}"
       if (segs.length >= 2) out += s"${segs(0)}/${segs(1)}"
       if (segs.length >= 3) out += s"$host/${segs(0)}/${segs(1)}/${segs(2)}"
       out.toSeq
-    } catch { case _: Exception => Seq(trimmed) }
+    } catch { case _: Exception => out.toSeq }
   }
 
   /** F5 `path`: split a Windows path on backslashes; emit full path, each
@@ -84,6 +106,22 @@ object TokenFunctions {
     if (s == null) return Seq.empty
     try Seq(new String(Base64.getDecoder.decode(s.trim), StandardCharsets.UTF_8))
     catch { case _: Exception => Seq.empty }
+  }
+
+  /** F9 with the reference's optional zlib-inflate step
+    * (Util.java:315-332 Base64DecoderStr flag=true: base64 -> inflate ->
+    * utf-8; the INPUT passes through on any failure, mirroring the
+    * reference's catch). */
+  def base64decodeInflate(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    try {
+      val bytes = Base64.getDecoder.decode(s.trim)
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.InflaterOutputStream(bos)
+      zos.write(bytes)
+      zos.close()
+      Seq(new String(bos.toByteArray, StandardCharsets.UTF_8))
+    } catch { case _: Exception => Seq(s) }
   }
 
   /** P4 blacklist filter with 1-in-N deterministic sampling: drop

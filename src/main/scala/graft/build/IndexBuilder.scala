@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.analyze.{Analyzers, TextAnalyzer, KeywordAnalyzer}
+import graft.analyze.{Analyzer, Analyzers}
 import graft.codec.PostingCodec
 import graft.model.Posting
 import graft.query.Bm25
@@ -53,19 +53,31 @@ object IndexBuilder {
 
   /** Bumped on any change to the on-disk index layout; stamped into buildId
     * so cached indexes from older code are detected as stale. */
-  val LayoutVersion = 2
+  val LayoutVersion = 3
 
-  /** Term -> shard bucket. String.hashCode is JVM-spec-stable; stands in for
-    * the reference's murmur3 HashId (LogParser.java:26-31). */
-  def bucketOf(term: String, buckets: Int): Int = (term.hashCode & 0x7fffffff) % buckets
-
-  val Fields: Seq[String] = Seq("text", "role", "tool")
-
-  /** Per-(field, doc) token arrays for one field. */
-  private def fieldTokens(field: String) = field match {
-    case "text" => TextAnalyzer.tokensCol(col("text"))
-    case f => KeywordAnalyzer.tokensCol(col(f))
+  /** Term -> shard bucket: murmur3(seed 42), the same dispersion family the
+    * reference uses for its HashId (LogParser.java:26-31, util/MurmurHash3
+    * .java:66) AND exactly Spark's built-in `hash()` — so the build assigns
+    * buckets with a codegen'd `pmod(hash(term), buckets)` column (no Scala
+    * UDF in the per-occurrence hot path) while the query side computes the
+    * identical bucket on the driver for partition pruning. */
+  def bucketOf(term: String, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L).toInt
+    ((h % buckets) + buckets) % buckets
   }
+
+  /** Column form of bucketOf — MUST stay value-identical (BucketSpec). */
+  def bucketCol(term: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(term), lit(buckets))
+
+  /** Default field set (sorted; the transcripts schema). Custom indexes pass
+    * their own field->Analyzer map — any column set, any chain (ChainSpec). */
+  val Fields: Seq[String] = Analyzers.byField.keys.toSeq.sorted
+
+  /** Deterministic field order of an analyzer config. */
+  def fieldsOf(analyzers: Map[String, Analyzer]): Seq[String] = analyzers.keys.toSeq.sorted
 
   /** (field, term, docId, tf, dl) — the analog of the reference mapper's
     * intermediate row (LogParser.java:21-53), with tf pre-counted per doc and
@@ -76,17 +88,21 @@ object IndexBuilder {
     * Column-expression tokenizer is behaviorally identical — AnalyzerSpec —
     * and remains the form used by oracle-checked gate queries.)
     */
-  def termOccs(docs: DataFrame): DataFrame = {
+  def termOccs(docs: DataFrame,
+               analyzers: Map[String, Analyzer] = Analyzers.byField): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("docId"), col("text"), col("role"), col("tool"))
-      .as[(Long, String, String, String)]
-      .flatMap { case (docId, text, role, tool) =>
-        Seq(("text", text), ("role", role), ("tool", tool)).flatMap { case (f, v) =>
-          val toks = graft.analyze.Analyzers.byField(f).tokens(v)
+    val fields = fieldsOf(analyzers)
+    val anals = fields.map(analyzers) // positional, serializable (spec-carrying)
+    docs.select((col("docId") +: fields.map(col)): _*)
+      .flatMap { row =>
+        val docId = row.getLong(0)
+        fields.indices.flatMap { fi =>
+          val v = if (row.isNullAt(fi + 1)) null else row.getString(fi + 1)
+          val toks = anals(fi).tokens(v)
           val dl = toks.length
           toks.groupBy(identity).map { case (t, occ) =>
-            graft.model.TermOcc(f, t, docId, occ.size, dl)
+            graft.model.TermOcc(fields(fi), t, docId, occ.size, dl)
           }
         }
       }
@@ -96,10 +112,12 @@ object IndexBuilder {
 
   /** Per-field avgdl over ALL docs (zero-token docs included — the oracle
     * uses the same definition). */
-  def corpusAvgdl(docs: DataFrame): Map[String, Double] = {
-    val aggs = Fields.map(f => avg(size(fieldTokens(f))).as(f))
+  def corpusAvgdl(docs: DataFrame,
+                  analyzers: Map[String, Analyzer] = Analyzers.byField): Map[String, Double] = {
+    val fields = fieldsOf(analyzers)
+    val aggs = fields.map(f => avg(size(analyzers(f).tokensCol(col(f)))).as(f))
     val row = docs.select(aggs: _*).collect()(0)
-    Fields.zipWithIndex.map { case (f, i) => f -> row.getDouble(i) }.toMap
+    fields.zipWithIndex.map { case (f, i) => f -> row.getDouble(i) }.toMap
   }
 
   /** Full build: docIds -> docstore + postings + termstats + manifest.
@@ -107,7 +125,9 @@ object IndexBuilder {
     * (kill/rerun produces identical index content — ResumeSpec).
     */
   def build(spark: SparkSession, turns: DataFrame, dir: String,
-            cfg: IndexConfig = IndexConfig()): IndexManifest = {
+            cfg: IndexConfig = IndexConfig(),
+            analyzers: Map[String, Analyzer] = Analyzers.byField): IndexManifest = {
+    val fields = fieldsOf(analyzers)
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // the posting aggregation has ~|vocab| * chunks groups; the default
@@ -154,11 +174,15 @@ object IndexBuilder {
     val (docs, sortedHandle) = DocIds.assignWithHandle(turns, cfg.docIdPartitions)
     // one job: materialize the cache + count + per-field avgdl together
     val statsRow = docs.select(
-      (count(lit(1)) +: Fields.map(f => avg(size(fieldTokens(f))).as(f))): _*).collect()(0)
+      (count(lit(1)) +: fields.map(f => avg(size(analyzers(f).tokensCol(col(f)))).as(f))): _*).collect()(0)
     val numDocs = statsRow.getLong(0)
-    val avgdl = Fields.zipWithIndex.map { case (f, i) => f -> statsRow.getDouble(i + 1) }.toMap
+    val avgdl = fields.zipWithIndex.map { case (f, i) => f -> statsRow.getDouble(i + 1) }.toMap
     phase("docids+count+avgdl")
-    val buildId = f"build-v${IndexBuilder.LayoutVersion}%d-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d"
+    // analyzer config identity rides in the id: a field set or chain change
+    // must invalidate resume, not silently reuse old postings
+    val cfgHash = (fields.map(f => s"$f=${analyzers(f).spec}").mkString(";").hashCode
+      & 0x7fffffff).toHexString
+    val buildId = f"build-v${IndexBuilder.LayoutVersion}%d-${numDocs}%d-${cfg.buckets}%d-${cfg.chunkDocs}%d-$cfgHash%s"
 
     // Resume gate: everything under `dir` is trusted ONLY if it was produced
     // by this exact buildId (layout version + corpus size + config). A
@@ -186,12 +210,12 @@ object IndexBuilder {
     // bytes (it would otherwise repeat ~df times per doc).
     if (!fs.exists(new Path(dir, "norms/_SUCCESS"))) {
       val chunkDocsL = cfg.chunkDocs
-      val dlRows = Fields.map { f =>
+      val dlRows = fields.map { f =>
         docs.select(
           lit(f).as("field"),
           (col("docId") / cfg.chunkDocs).cast("long").as("chunk"),
           col("docId"),
-          size(fieldTokens(f)).as("dl"))
+          size(analyzers(f).tokensCol(col(f))).as("dl"))
       }.reduce(_ unionAll _)
       dlRows.as[(String, Long, Long, Int)]
         .groupByKey(r => (r._1, r._2))
@@ -208,9 +232,8 @@ object IndexBuilder {
     }
     phase("norms")
 
-    val bucketU = udf((t: String) => bucketOf(t, cfg.buckets))
-    val occs = termOccs(docs)
-      .withColumn("bucket", bucketU(col("term")))
+    val occs = termOccs(docs, analyzers)
+      .withColumn("bucket", bucketCol(col("term"), cfg.buckets))
       .withColumn("chunk", (col("docId") / cfg.chunkDocs).cast("long"))
 
     val postingUdaf = udaf(PostingAgg)

@@ -23,10 +23,16 @@ object SearchQuery {
     * terms (e.g. `needle-000002` -> `needle` AND `000002`). Duplicates are
     * dropped, first-occurrence order preserved (scoring order).
     */
-  def of(keywords: Seq[(String, Seq[String])], k: Int): SearchQuery = {
+  def of(keywords: Seq[(String, Seq[String])], k: Int): SearchQuery =
+    of(keywords, k, Analyzers.byField)
+
+  /** Analyzer-aware variant for custom-field indexes: the SAME field chains
+    * that built the index normalize/expand the query keywords. */
+  def of(keywords: Seq[(String, Seq[String])], k: Int,
+         analyzers: Map[String, graft.analyze.Analyzer]): SearchQuery = {
     val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
     keywords.foreach { case (f, ts) =>
-      val analyzer = Analyzers.byField.getOrElse(f, graft.analyze.KeywordAnalyzer)
+      val analyzer = analyzers.getOrElse(f, graft.analyze.KeywordAnalyzer)
       ts.foreach { t =>
         val expanded = analyzer.tokens(Analyzers.normalizeQueryTerm(t))
         expanded.foreach(term => seen += ((f, term)))
@@ -118,8 +124,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
       val (df, pv) = ts(q.terms.head)
       SearchStats(df, pv, df)
     } else {
-      import spark.implicits._
-      val total = candidates(q, Int.MaxValue).count()
+      val total = matchCount(q) // count-only kernel: no scoring, norms, or heap
       SearchStats(total, total, total)
     }
   }
@@ -140,6 +145,60 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
       .filter(col("docId").isin(ids: _*)) // parquet min/max pruning (sorted col)
       .join(broadcast(hits), Seq("docId"))
       .orderBy(desc("score"), asc("docId"))
+  }
+
+  /** Result post-filter — the reference's `req.filter` surface
+    * (service/searcher/module/poseidon.go:180-215; its own implementation is
+    * vestigial — the filter list is always empty — and it filters AFTER
+    * pagination, which can under-fill pages). Here the predicate evaluates
+    * against the docstore row and applies BELOW the top-k cut: all candidates
+    * are scored exactly, joined to their stored fields, filtered, then cut —
+    * pages always fill while scores stay exact. The docstore join is
+    * planner-chosen (broadcast only when the hit set is actually small). */
+  def fetchFiltered(q: SearchQuery, predicate: org.apache.spark.sql.Column): DataFrame = {
+    scoreAll(q)
+      .join(docstore, Seq("docId"))
+      .filter(predicate)
+      .orderBy(desc("score"), asc("docId"))
+      .limit(q.k)
+  }
+
+  /** Count of the AND intersection — the reference's pv/uv stats path needs
+    * only a count, so this skips scoring, norms, and the top-k heap entirely
+    * (a count-only kernel instead of candidates(q, MaxValue)). */
+  def matchCount(q: SearchQuery): Long = {
+    import spark.implicits._
+    val ts = termStatsOf(q)
+    if (q.terms.isEmpty || q.terms.exists(t => !ts.contains(t))) return 0L
+    if (q.terms.size == 1) return ts(q.terms.head)._1 // df IS the count
+
+    val buckets = q.terms.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
+    val cond = q.terms.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
+    val rows = postings
+      .filter(col("bucket").isin(buckets: _*) && cond)
+      .select(col("field"), col("term"), col("chunk"), col("blob"))
+      .as[(String, String, Long, Array[Byte])]
+    val terms = q.terms.toArray
+    val numChunks = math.max(1L, (manifest.numDocs + manifest.chunkDocs - 1) / manifest.chunkDocs)
+    val p = math.min(numChunks, spark.sessionState.conf.numShufflePartitions.toLong).toInt
+    rows
+      .repartition(p, col("chunk"))
+      .sortWithinPartitions("chunk")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Long] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Long = {
+            val chunk = buf.head._3
+            val group = scala.collection.mutable.ArrayBuffer[(String, String, Array[Byte])]()
+            while (buf.hasNext && buf.head._3 == chunk) {
+              val r = buf.next(); group += ((r._1, r._2, r._4))
+            }
+            QueryKernel.countChunk(terms, group.toSeq)
+          }
+        }
+      }
+      .toDF("n").agg(sum("n")).collect()(0).getLong(0)
   }
 
   /** All docIds matching the AND conjunction, ascending (the reference's
@@ -241,6 +300,44 @@ object QueryKernel extends Serializable {
 
   /** Sentinel term carrying a chunk's norms blob through the shuffle. */
   val NormsTerm = "\u0000norms"
+
+  /** Count the conjunction within one chunk — no scoring, no dl, no heap.
+    * Cursor walk identical to scoreChunk's alignment (driver = rarest). */
+  def countChunk(terms: Array[(String, String)],
+                 group: Seq[(String, String, Array[Byte])]): Long = {
+    val blobs = scala.collection.mutable.HashMap[(String, String), Array[Byte]]()
+    group.foreach { case (f, t, b) => blobs((f, t)) = b }
+    if (terms.exists(t => !blobs.contains(t))) return 0L
+    val nT = terms.length
+    val cursors = Array.tabulate(nT)(i => new PostingCodec.Cursor(blobs(terms(i))))
+    if (nT == 1) return cursors(0).numPostings.toLong
+    val order = Array.range(0, nT).sortBy(i => cursors(i).numPostings)
+    val drv = cursors(order(0))
+    var n = 0L
+    var alive = drv.advance()
+    var i2 = 1
+    while (alive && i2 < nT) { alive = cursors(order(i2)).advance(); i2 += 1 }
+    while (alive) {
+      val target = drv.docId
+      var bumped = false
+      var j = 1
+      while (alive && j < nT && !bumped) {
+        val c = cursors(order(j))
+        if (!c.advanceTo(target)) alive = false
+        else if (c.docId > target) {
+          if (!drv.advanceTo(c.docId)) alive = false
+          bumped = true
+        }
+        j += 1
+      }
+      if (alive && !bumped) {
+        n += 1
+        alive = drv.advance()
+      }
+    }
+    n
+  }
+
 
   /** Conjunctive document-at-a-time traversal with block-max skipping.
     *

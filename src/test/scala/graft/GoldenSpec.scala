@@ -11,7 +11,8 @@ import graft.gen.TranscriptGen
   */
 class GoldenSpec extends SparkFunSuite {
 
-  val ExpectedDigest = "6ccd715d6f21bb4c2dc3f14ab64a0650"
+  // v3 layout: murmur3 bucket hash + analyzer-spec hash in buildId (round 2)
+  val ExpectedDigest = "a56ca8e2ed6f382af62c080ab64cfbb8"
 
   test("index layout digest is stable") {
     val dir = SparkSpec.tmpDir("graft-golden")

@@ -10,9 +10,10 @@ class TokenFunctionsSpec extends AnyFunSuite {
     assert(v.contains("http://example.com:8080/a/b/c?q=1"))
     assert(v.contains("example.com"))
     assert(v.contains("example.com:8080"))
-    assert(v.contains("example.com/a"))
+    // the port rides on every downstream combo (reference Util.java:248-305)
+    assert(v.contains("example.com:8080/a"))
     assert(v.contains("a/b"))
-    assert(v.contains("example.com/a/b/c"))
+    assert(v.contains("example.com:8080/a/b/c"))
     assert(urlVariants("example.com/x").contains("example.com"))
     assert(urlVariants(null).isEmpty)
   }
