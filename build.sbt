@@ -31,3 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // seconds on first-touch page zeroing of the huge heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// GC experiment knob: batch builds are allocation-bound; see BASELINE.md
+javaOptions ++= (sys.env.get("SPARK_GRAFT_GC") match {
+  case Some("parallel") => Seq("-XX:+UseParallelGC")
+  case Some("g1") | None => Seq.empty
+  case Some(other) => Seq(s"-XX:+Use${other}GC")
+})

@@ -98,30 +98,20 @@ object Bench {
     def pct(p: Double) = sorted((p * (sorted.size - 1)).round.toInt)
     spark.stop()
 
-    // ---- 3. scaling: same build at local[N] vs local[4N] (N=2) ----
-    // Protocol per BASELINE.md: no real cluster in the sandbox, so the SAME
-    // job runs at two parallelism levels on the same input. 1 vs 4 threads
-    // is used (not 8 vs 32) because a single shared-heap JVM saturates
-    // allocation bandwidth well below 32 threads — separate-executor JVMs on
-    // a cluster do not share a heap (Probe: pure codegen'd kernels measure
-    // 0.74-0.91 at 1->4, ~0.55 at 2->8, ~0.3 at 8->32 on this VM). Each
-    // level is preceded by a warmup build in the same JVM (JIT + codegen
-    // caches), then takes best-of-2 to damp the sandbox's CPU-steal noise.
-    val scaleTurns = math.min(benchTurns * 2, 300000L)
+    // ---- 3. scaling: same build, one BOUND JVM per leg (N vs 4N) ----
+    // Protocol per BASELINE.md round 2: each leg forks a fresh JVM
+    // taskset-bound to exactly N cores with -XX:ActiveProcessorCount=N —
+    // the budget a real N-core executor container gets from its cgroup
+    // cpuset. (The round-1 in-process protocol let the 1-core leg's ~23 GC
+    // threads + C2 compilers run free on the host's idle cores, deflating
+    // measured scaling.) Each leg warms up with a 50k-turn build before the
+    // timed reps; best-of damps the VM's CPU-steal spikes. 600k turns so
+    // per-job fixed costs (scheduling + commit) stay <2% of the small leg.
+    val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600000").toLong
     val lowCpus = 1
     val highCpus = 4
-    def measured(p: Int): Double = {
-      val s = session(p)
-      buildOnce(s, 50000L, s"/tmp/graft-scale-warm-$p") // warmup
-      // the 4-core leg is cheap — take best-of-3 to ride out CPU-steal
-      // spikes (observed 18% swing between identical runs on this VM)
-      val reps = if (p >= highCpus) 3 else 2
-      val t = (1 to reps).map(_ => buildOnce(s, scaleTurns, s"/tmp/graft-scale-idx-$p")).min
-      s.stop()
-      t
-    }
-    val secLow = measured(lowCpus)
-    val secHigh = measured(highCpus)
+    val secLow = graft.tools.ScalingFork.runLeg(lowCpus, scaleTurns, reps = 1)
+    val secHigh = graft.tools.ScalingFork.runLeg(highCpus, scaleTurns, reps = 2)
     val thrLow = scaleTurns / secLow
     val thrHigh = scaleTurns / secHigh
     val eff = (thrHigh / thrLow) / (highCpus.toDouble / lowCpus)

@@ -31,6 +31,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", localDir))
       .config("spark.ui.enabled", "false")
+      // task-side output commit (v2): v1 renames every output file serially
+      // on the driver after the job — measured ~1s of pure driver time per
+      // partitioned write at 128 files, flat across parallelism levels (it
+      // was the biggest fixed cost in the scaling protocol). Semantics at
+      // this batch-overwrite usage are equivalent; a mid-commit crash is
+      // already handled by the buildId resume gate wiping partial output.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     s

@@ -198,6 +198,7 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_cosine_top10" -> ((s, dir) => Similarity.cosineTopK(s, dir, 0, 10)),
     "dedup_embed" -> ((s, dir) => Similarity.embedDupPairs(s, dir, 0.4)),
+    "dedup_embed_ann" -> ((s, dir) => Similarity.embedDupPairsAnn(s, dir, 0.4)),
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
 
     // ---- text analysis ----
@@ -402,6 +403,26 @@ object SparkEntry {
         |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (p, q) -> p + q))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(cos, 6) AS cos FROM s WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+    "dedup_embed_ann" -> {
+      val bitCols = (0 until Similarity.SigBits).map { j =>
+        s"""CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))),
+           |  x -> CAST(x[1] AS DOUBLE) *
+           |    CASE WHEN CAST(('0x' || substr(md5('hp-$j-' || CAST(x[2] AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+           |         THEN 1.0 ELSE -1.0 END), (a, b) -> a + b) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""WITH bk AS (SELECT vec_id, embedding, ($bitCols) AS bucket FROM embeddings),
+         |s AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b, x.bucket,
+         |    list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (p, q) -> p + q) /
+         |    (sqrt(list_reduce(list_transform(x.embedding,
+         |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (p, q) -> p + q)) *
+         |     sqrt(list_reduce(list_transform(y.embedding,
+         |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (p, q) -> p + q))) AS cos
+         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a, b, CAST(bucket AS INT) AS bucket, round(cos, 6) AS cos
+         |FROM s WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+    },
     "ann_lsh_buckets" -> {
       val bitCols = (0 until Similarity.SigBits).map { j =>
         s"""CASE WHEN list_reduce(list_transform(list_zip(embedding, range(0, len(embedding))),

@@ -101,8 +101,22 @@ object IndexBuilder {
           val v = if (row.isNullAt(fi + 1)) null else row.getString(fi + 1)
           val toks = anals(fi).tokens(v)
           val dl = toks.length
-          toks.groupBy(identity).map { case (t, occ) =>
-            graft.model.TermOcc(fields(fi), t, docId, occ.size, dl)
+          if (dl == 0) Nil
+          else {
+            // tf per term via sort + run-length — same multiset as a
+            // groupBy(identity) without its per-doc HashMap/Vector churn
+            // (this flatMap runs once per turn in the build hot path)
+            val arr = toks.toArray
+            java.util.Arrays.sort(arr, Ordering.String)
+            val out = scala.collection.mutable.ArrayBuffer[graft.model.TermOcc]()
+            var i = 0
+            while (i < arr.length) {
+              var j = i + 1
+              while (j < arr.length && arr(j) == arr(i)) j += 1
+              out += graft.model.TermOcc(fields(fi), arr(i), docId, j - i, dl)
+              i = j
+            }
+            out
           }
         }
       }
@@ -307,6 +321,8 @@ object IndexBuilder {
         part.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
         phase(s"postings g=$g")
         stats.filter(col("bucket") % groups === g)
+          .repartition(col("bucket")) // one task per bucket dir: files stay
+          // bounded by #buckets, not tasks x buckets (commit cost is per file)
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
         phase(s"termstats g=$g")
         val wallMs = (System.nanoTime() - t0) / 1000000L

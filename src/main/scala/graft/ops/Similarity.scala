@@ -107,6 +107,34 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Sub-quadratic embedding near-dup — AnnIndex's hyperplane buckets as
+    * CANDIDATE GENERATION (same-bucket equi-join; the join key is the
+    * signature, so candidate volume is sum of squared bucket sizes, not
+    * n^2), verified with exact cosine. Approximate by construction: pairs
+    * whose signatures differ are missed — `embedDupPairs` above is the
+    * oracle-checked exact form; this is the shape that survives 10^9
+    * vectors. Multi-probe (Hamming-1 bucket unioning, as in AnnIndex.query)
+    * is the recall knob. */
+  def embedDupPairsAnn(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      Hyperplanes.bucketCol(col("embedding"), SigBits, dim).as("bucket"))
+    val x = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val y = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    x.join(y, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ea, eb, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("bucket"), round(col("cos"), 6).as("cos"))
+      .orderBy("a", "b")
+  }
+
   /** Random-hyperplane LSH bucket histogram — signature = SigBits sign bits
     * of dot(v, h_j) with the shared Hyperplanes constant matrix (the md5-
     * derived ±1 signs are integer-exact, so the oracle reproduces them). */

@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.build.{IndexBuilder, IndexConfig}
+import graft.gen.TranscriptGen
+
+/** One scaling-protocol leg: run in a DEDICATED JVM (forked by Bench with
+  * -XX:ActiveProcessorCount=<cpus>) so the leg behaves like an executor of
+  * that size — GC/JIT/shuffle threads scale with the pinned count instead of
+  * the host's 32 cores. In-process legs inflate the small leg's throughput
+  * (a local[1] session still gets ~23 G1 threads and the whole C2 compiler
+  * pool for free), understating true 1-executor -> 4-executor scaling.
+  *
+  * Args: cpus turns reps. Prints `LEGSEC=<best seconds>` on stdout.
+  */
+object ScalingLeg {
+  private def rm(dir: String): Unit = {
+    def del(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(del); f.delete() }
+    del(new java.io.File(dir))
+  }
+
+  def buildOnce(s: org.apache.spark.sql.SparkSession, n: Long, dir: String): Double = {
+    rm(dir)
+    val t0 = System.nanoTime()
+    IndexBuilder.build(s, TranscriptGen.turns(s, n).toDF(), dir,
+      IndexConfig(buckets = 32, chunkDocs = 1L << 14))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val turns = args(1).toLong
+    val reps = args(2).toInt
+    val s = graft.Sessions.local(cpus, s"scaling-leg-$cpus")
+    s.sparkContext.setLogLevel("ERROR")
+    buildOnce(s, 50000L, s"/tmp/graft-scale-warm-$cpus") // JIT/codegen warmup
+    val best = (1 to reps).map(_ => buildOnce(s, turns, s"/tmp/graft-scale-idx-$cpus")).min
+    s.stop()
+    println(f"LEGSEC=$best%.3f")
+  }
+}
