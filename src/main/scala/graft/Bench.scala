@@ -110,8 +110,8 @@ object Bench {
     val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600000").toLong
     val lowCpus = 1
     val highCpus = 4
-    val secLow = graft.tools.ScalingFork.runLeg(lowCpus, scaleTurns, reps = 1)
-    val secHigh = graft.tools.ScalingFork.runLeg(highCpus, scaleTurns, reps = 2)
+    val secLow = graft.tools.ScalingFork.runLeg(lowCpus, scaleTurns, reps = 2)
+    val secHigh = graft.tools.ScalingFork.runLeg(highCpus, scaleTurns, reps = 3)
     val thrLow = scaleTurns / secLow
     val thrHigh = scaleTurns / secHigh
     val eff = (thrHigh / thrLow) / (highCpus.toDouble / lowCpus)

@@ -53,7 +53,7 @@ object IndexBuilder {
 
   /** Bumped on any change to the on-disk index layout; stamped into buildId
     * so cached indexes from older code are detected as stale. */
-  val LayoutVersion = 3
+  val LayoutVersion = 4
 
   /** Term -> shard bucket: murmur3(seed 42), the same dispersion family the
     * reference uses for its HashId (LogParser.java:26-31, util/MurmurHash3
@@ -186,12 +186,11 @@ object IndexBuilder {
     // docs itself is not persisted — every consumer streams a cheap
     // per-partition pass over DocIds' pinned sorted intermediate
     val (docs, sortedHandle) = DocIds.assignWithHandle(turns, cfg.docIdPartitions)
-    // one job: materialize the cache + count + per-field avgdl together
-    val statsRow = docs.select(
-      (count(lit(1)) +: fields.map(f => avg(size(analyzers(f).tokensCol(col(f)))).as(f))): _*).collect()(0)
-    val numDocs = statsRow.getLong(0)
-    val avgdl = fields.zipWithIndex.map { case (f, i) => f -> statsRow.getDouble(i + 1) }.toMap
-    phase("docids+count+avgdl")
+    // cheap count materializes the pinned sort; per-field avgdl is NOT a
+    // separate tokenize pass anymore — it rides out of the norms job below
+    // (sum_dl/n_docs columns), which already tokenizes every field once
+    val numDocs = docs.count()
+    phase("docids+count")
     // analyzer config identity rides in the id: a field set or chain change
     // must invalidate resume, not silently reuse old postings
     val cfgHash = (fields.map(f => s"$f=${analyzers(f).spec}").mkString(";").hashCode
@@ -221,7 +220,11 @@ object IndexBuilder {
     // norms sidecar: per (field, chunk) packed dl array, direct-indexed by
     // docId - chunk*chunkDocs (docIds are rank-dense). Lucene-style: dl is
     // per (field, doc); keeping it out of the postings saves ~30% of index
-    // bytes (it would otherwise repeat ~df times per doc).
+    // bytes (it would otherwise repeat ~df times per doc). Each row also
+    // carries (sum_dl, n_docs) so corpus avgdl falls out of a metadata-sized
+    // aggregate instead of a second full tokenize pass (dl is integer, so
+    // any summation order gives the identical double avgdl the oracle's
+    // avg() computes).
     if (!fs.exists(new Path(dir, "norms/_SUCCESS"))) {
       val chunkDocsL = cfg.chunkDocs
       val dlRows = fields.map { f =>
@@ -238,13 +241,23 @@ object IndexBuilder {
           val entries = it.toArray
           val base = chunk * chunkDocsL
           val arr = new Array[Int](entries.length)
-          entries.foreach { case (_, _, docId, dl) => arr((docId - base).toInt) = dl }
-          (field, chunk, graft.codec.PostingCodec.encodeNorms(arr))
+          var sumDl = 0L
+          entries.foreach { case (_, _, docId, dl) =>
+            arr((docId - base).toInt) = dl
+            sumDl += dl
+          }
+          (field, chunk, graft.codec.PostingCodec.encodeNorms(arr), sumDl, entries.length.toLong)
         }
-        .toDF("field", "chunk", "blob")
+        .toDF("field", "chunk", "blob", "sum_dl", "n_docs")
         .write.mode("overwrite").parquet(s"$dir/norms")
     }
     phase("norms")
+    // avgdl over ALL docs (zero-token docs included), from the norms stats
+    val avgdl = spark.read.parquet(s"$dir/norms")
+      .groupBy("field").agg(sum("sum_dl").as("s"), sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / r.getLong(2).toDouble)
+      .toMap
+    phase("avgdl")
 
     val occs = termOccs(docs, analyzers)
       .withColumn("bucket", bucketCol(col("term"), cfg.buckets))
