@@ -11,9 +11,10 @@ import graft.query.{QueryEngine, SearchQuery}
   *    "index_build":{...}, "query_latency":{...}, "scaling":{...}}
   *
   * The scaling section evidences the north rule's two-cluster-size criterion
-  * in this sandbox (no real cluster): the SAME index-build job runs at
-  * local[8] and local[N] on the same input; efficiency =
-  * (thrN / thr8) / (N / 8). Reported in BASELINE.md too.
+  * in this sandbox (no real cluster): the SAME index-build job runs in two
+  * freshly forked, taskset-bound JVMs (N and 4N cores — executor-container
+  * simulation; see ScalingFork) on the same input; efficiency =
+  * (thr4N / thrN) / 4. Protocol and measured ladder in BASELINE.md.
   */
 object Bench {
 
@@ -57,6 +58,23 @@ object Bench {
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "150000").toLong
     val sb = new StringBuilder
 
+    // ---- 0. scaling FIRST, while this JVM is still Spark-free ----
+    // Protocol per BASELINE.md round 2: each leg forks a fresh JVM
+    // taskset-bound to exactly N cores with -XX:ActiveProcessorCount=N —
+    // the budget a real N-core executor container gets from its cgroup
+    // cpuset. Each leg warms up (50k-turn build) then best-of-reps damps
+    // CPU-steal spikes. Runs BEFORE any parent-JVM SparkSession: a parent
+    // that has already run the 32-thread gate degrades the 4-core leg ~20%
+    // (measured 57s -> 70s) and the measurement must not inherit that.
+    val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600000").toLong
+    val lowCpus = 1
+    val highCpus = 4
+    val secLow = graft.tools.ScalingFork.runLeg(lowCpus, scaleTurns, reps = 2)
+    val secHigh = graft.tools.ScalingFork.runLeg(highCpus, scaleTurns, reps = 3)
+    val thrLow = scaleTurns / secLow
+    val thrHigh = scaleTurns / secHigh
+    val eff = (thrHigh / thrLow) / (highCpus.toDouble / lowCpus)
+
     // ---- 1. gate queries over the driver's sf tables ----
     var spark = session(cpus)
     val gate = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -97,24 +115,6 @@ object Bench {
     val sorted = lat.sorted
     def pct(p: Double) = sorted((p * (sorted.size - 1)).round.toInt)
     spark.stop()
-
-    // ---- 3. scaling: same build, one BOUND JVM per leg (N vs 4N) ----
-    // Protocol per BASELINE.md round 2: each leg forks a fresh JVM
-    // taskset-bound to exactly N cores with -XX:ActiveProcessorCount=N —
-    // the budget a real N-core executor container gets from its cgroup
-    // cpuset. (The round-1 in-process protocol let the 1-core leg's ~23 GC
-    // threads + C2 compilers run free on the host's idle cores, deflating
-    // measured scaling.) Each leg warms up with a 50k-turn build before the
-    // timed reps; best-of damps the VM's CPU-steal spikes. 600k turns so
-    // per-job fixed costs (scheduling + commit) stay <2% of the small leg.
-    val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600000").toLong
-    val lowCpus = 1
-    val highCpus = 4
-    val secLow = graft.tools.ScalingFork.runLeg(lowCpus, scaleTurns, reps = 2)
-    val secHigh = graft.tools.ScalingFork.runLeg(highCpus, scaleTurns, reps = 3)
-    val thrLow = scaleTurns / secLow
-    val thrHigh = scaleTurns / secHigh
-    val eff = (thrHigh / thrLow) / (highCpus.toDouble / lowCpus)
 
     def jm(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")

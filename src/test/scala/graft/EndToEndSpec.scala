@@ -89,4 +89,34 @@ class EndToEndSpec extends SparkFunSuite {
     assert(ds.length == N)
     assert(ds.toSeq.sorted == (0L until N))
   }
+
+  test("count-only kernel: matchCount == oracle intersection size on the query set") {
+    queries.foreach { case (name, q) =>
+      val posts = q.terms.map(t => oracle.tfs.getOrElse(t, Map.empty[Long, Int]))
+      val exp =
+        if (q.terms.isEmpty || posts.exists(_.isEmpty)) 0L
+        else posts.map(_.keySet).reduce(_ intersect _).size.toLong
+      assert(engine.matchCount(q) == exp, name)
+    }
+  }
+
+  test("fetchFiltered: predicate applies below the top-k cut, scores exact") {
+    val q = SearchQuery.of(Seq("text" -> Seq("error")), 12)
+    val got = engine.fetchFiltered(q, col("role") === "user")
+      .select("docId", "role", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val roleOf = oracleDocs.map(d => d.docId -> d.role).toMap
+    val exp = Bm25Oracle.topK(oracle, q.copy(k = Int.MaxValue))
+      .filter { case (d, _) => roleOf(d) == "user" }
+      .take(12)
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case ((d, role, s), (ed, es)) =>
+      assert(d == ed && role == "user" && s == es) // exact-score parity
+    }
+    // the filter must NOT shrink the page below k while matches remain
+    val unfiltered = Bm25Oracle.topK(oracle, q).map(_._1).toSet
+    assert(got.exists(g => !unfiltered.contains(g._1)),
+      "filtered page should reach past the unfiltered top-k (over-fetch works)")
+  }
+
 }
