@@ -63,4 +63,56 @@ class PlanSpec extends SparkFunSuite {
     // AQE renders codegen spans as "*(n)" stage markers
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), s"no codegen in:\n$plan")
   }
+
+  // ---- round-2 scale-shape guards for the pair/dedup operators ----
+
+  lazy val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact pair operators never plan a broadcast nested-loop join") {
+    // round 1 shipped the FULL table to every task via broadcast(b) + a<b;
+    // the block kernels must keep these plans join-operator-free
+    Seq(
+      graft.ops.Dedup.jaccardPairs(sfDocs, 0.95),
+      graft.ops.Similarity.embedDupPairs(spark, "/root/testdata/sf0.001", 0.4)
+    ).foreach { df =>
+      df.collect()
+      val plan = executedPlan(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"broadcast nested-loop reappeared in:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian product operator in:\n$plan")
+    }
+  }
+
+  test("minhash LSH verify does not force-broadcast the token-set table") {
+    val df = graft.ops.Dedup.minhashLsh(sfDocs, 0.95)
+    df.collect()
+    val plan = executedPlan(df)
+    // the verify side is a cogroup of tagged streams; broadcast may appear
+    // ONLY where the planner chose it for a genuinely small side (none of
+    // our operators force it via broadcast() anymore)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    assert(plan.contains("CoGroup"), s"block-local cogroup verify missing in:\n$plan")
+  }
+
+  test("fingerprint is a single narrow pass: no exchange in the plan") {
+    val df = graft.ops.TextOps.fingerprint(sfDocs)
+    df.collect()
+    val plan = executedPlan(df)
+    // one shuffle only for the final global orderBy; the shingle/min/max
+    // reduction itself must not exchange (rangepartitioning for sort is ok).
+    // AQE's toString appends an "== Initial Plan ==" copy — count the final.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(finalPlan).length
+    assert(exchanges <= 1, s"fingerprint plan has $exchanges exchanges:\n$plan")
+  }
+
+  test("ANN candidate join keys on the signature bucket (shuffle-safe equi-join)") {
+    val df = graft.ops.Similarity.embedDupPairsAnn(spark, "/root/testdata/sf0.001", 0.4)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"ANN candidate join degenerated in:\n$plan")
+    assert(plan.contains("bucket"), s"bucket key missing in:\n$plan")
+  }
 }
