@@ -77,6 +77,12 @@ object Bench {
 
     // ---- 1. gate queries over the driver's sf tables ----
     var spark = session(cpus)
+    // setup, not query time: the ft_* gate queries share one on-disk index
+    // (GateIndex); build it before the loop so the first ft_* query's number
+    // is a query, not a query+index-build (build throughput is reported
+    // separately in index_build below)
+    try graft.ops.GateIndex.engine(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] gate index: ${e.getMessage}") }
     val gate = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = timeIt {
         try fn(spark, sfDir).count()
