@@ -38,3 +38,7 @@ javaOptions ++= (sys.env.get("SPARK_GRAFT_GC") match {
   case Some("g1") | None => Seq.empty
   case Some(other) => Seq(s"-XX:+Use${other}GC")
 })
+
+// forked run output goes straight to stdout (no "[info] " logger prefix) so
+// the bench's single JSON line is machine-parseable by the driver
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
