@@ -220,13 +220,17 @@ object Dedup {
     def bandSlice(side: String, b: Int) =
       slice(col(s"$side.mhs"), b * BandRows + 1, BandRows)
     val bands = (0 until numBands).map { b =>
+      // join key = 64-bit hash of the band slice (long compares beat array
+      // compares in the self-join); exactness is restored by the firstBand
+      // filter below, which compares the REAL slices — a hash collision
+      // with unequal slices yields firstBand != band and the row drops
       mh.select(col("sid"), col("mhs"), lit(b).as("band"),
-        slice(col("mhs"), b * BandRows + 1, BandRows).as("sig"))
+        xxhash64(slice(col("mhs"), b * BandRows + 1, BandRows)).as("sigh"))
     }.reduce(_ unionAll _)
     val firstBand = coalesce(
       (0 until numBands).map(b => when(bandSlice("x", b) === bandSlice("y", b), lit(b))): _*)
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.band") === col("y.band") && col("x.sigh") === col("y.sigh") &&
         col("x.sid") < col("y.sid"))
       .filter(col("x.band") === firstBand)
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
