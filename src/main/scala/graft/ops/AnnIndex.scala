@@ -26,9 +26,12 @@ object AnnIndex {
 
   /** Build the bucketed index table at `dir` (partitionBy(bucket)). */
   def build(spark: SparkSession, embeddings: DataFrame, dir: String): Unit = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val bucket = Similarity.dimOf(embeddings) match {
+      case Some(dim) => bucketCol("embedding", dim)
+      case None => lit(0) // empty input: schema-stable empty index
+    }
     embeddings
-      .withColumn("bucket", bucketCol("embedding", dim))
+      .withColumn("bucket", bucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }
 

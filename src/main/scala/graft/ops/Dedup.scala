@@ -53,6 +53,10 @@ object Dedup {
     * operators keep the full pair expansion because the oracle demands it.) */
   private def setGroups(documents: DataFrame): DataFrame =
     tokenSets(documents)
+      // token-less docs are OUT of the similarity domain (J = 0/0 undefined;
+      // the oracle's tok CTE never produces them) — without this filter all
+      // empty-set docs would collapse into one group and pair up at J=1.0
+      .filter(size(col("ts")) > 0)
       .groupBy("ts")
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("sid", element_at(col("members"), 1))

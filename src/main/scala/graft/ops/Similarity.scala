@@ -117,7 +117,9 @@ object Similarity {
     * is the recall knob. */
   def embedDupPairsAnn(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dim = dimOf(emb).getOrElse(
+      return emb.limit(0).select(col("vec_id").as("a"), col("vec_id").as("b"),
+        lit(0).as("bucket"), lit(0.0).as("cos")))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       Hyperplanes.bucketCol(col("embedding"), SigBits, dim).as("bucket"))
     val x = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
@@ -140,9 +142,16 @@ object Similarity {
     * derived ±1 signs are integer-exact, so the oracle reproduces them). */
   val SigBits = 8
 
+  /** Embedding width, or None for an empty table (the callers return a
+    * schema-stable empty frame instead of throwing on head()). */
+  private[ops] def dimOf(emb: DataFrame): Option[Int] =
+    emb.select(size(col("embedding"))).limit(1).collect().headOption.map(_.getInt(0))
+
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dim = dimOf(emb).getOrElse(
+      return emb.limit(0).select(lit(0).as("bucket"), lit(0L).as("n"),
+        col("vec_id").as("min_vec")))
     emb.select(col("vec_id"),
         Hyperplanes.bucketCol(col("embedding"), SigBits, dim).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))

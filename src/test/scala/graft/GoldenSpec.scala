@@ -11,7 +11,8 @@ import graft.gen.TranscriptGen
   */
 class GoldenSpec extends SparkFunSuite {
 
-  // v3 layout: murmur3 bucket hash + analyzer-spec hash in buildId (round 2)
+  // v4 layout (= IndexBuilder.LayoutVersion): murmur3 bucket hash +
+  // analyzer-spec hash in buildId (round 2)
   val ExpectedDigest = "a56ca8e2ed6f382af62c080ab64cfbb8"
 
   test("index layout digest is stable") {

@@ -89,6 +89,29 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("token-less docs are outside the similarity domain (no J=1 pairs among them)") {
+    // two docs with zero analyzer tokens + two true duplicates
+    val d = Seq(
+      (1L, "!!! ???"), (2L, "., ..,"), // no [a-z0-9]{2,40} tokens
+      (3L, "alpha beta gamma"), (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val jp = Dedup.jaccardPairs(d, 0.95).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lp = Dedup.minhashLsh(d, 0.95).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jp.toSeq == Seq((3L, 4L)), s"jaccard pairs: ${jp.toSeq}")
+    assert(lp.toSeq == Seq((3L, 4L)), s"lsh pairs: ${lp.toSeq}")
+  }
+
+  test("empty embeddings table: ann operators return schema-stable empty frames") {
+    val dir = SparkSpec.tmpDir("empty-emb")
+    spark.read.parquet(s"$sf/embeddings.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ann = Similarity.embedDupPairsAnn(spark, dir, 0.4)
+    assert(ann.columns.toSeq == Seq("a", "b", "bucket", "cos") && ann.count() == 0)
+    val bk = Similarity.lshBuckets(spark, dir)
+    assert(bk.columns.toSeq == Seq("bucket", "n", "min_vec") && bk.count() == 0)
+    graft.ops.AnnIndex.build(spark, spark.read.parquet(s"$dir/embeddings.parquet"), s"$dir/idx")
+  }
+
   test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
     val t = Transcripts.fromDocuments(spark, sf)
     val sorted = t.select("doc_id", "conv_id", "turn_idx").collect()
