@@ -10,7 +10,10 @@ import graft.gen.TranscriptGen
   * (a local[1] session still gets ~23 G1 threads and the whole C2 compiler
   * pool for free), understating true 1-executor -> 4-executor scaling.
   *
-  * Args: cpus turns reps. Prints `LEGSEC=<best seconds>` on stdout.
+  * Args: cpus turns reps. Prints `LEGCPUS=<Cpus_allowed_list>` (the mask the
+  * kernel actually applied — a taskset failure is visible in the record) and
+  * `LEGREPS=<sec,sec,...>` (every post-warmup rep) on stdout; aggregation
+  * (median) happens in the parent (ScalingFork).
   */
 object ScalingLeg {
   private def rm(dir: String): Unit = {
@@ -26,6 +29,16 @@ object ScalingLeg {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The cpuset the kernel actually enforces on this process. */
+  private def cpusAllowed: String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Cpus_allowed_list:") => l.split(':')(1).trim
+      }.getOrElse("unknown")
+      finally src.close()
+    } catch { case _: Exception => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val turns = args(1).toLong
@@ -33,8 +46,9 @@ object ScalingLeg {
     val s = graft.Sessions.local(cpus, s"scaling-leg-$cpus")
     s.sparkContext.setLogLevel("ERROR")
     buildOnce(s, 50000L, s"/tmp/graft-scale-warm-$cpus") // JIT/codegen warmup
-    val best = (1 to reps).map(_ => buildOnce(s, turns, s"/tmp/graft-scale-idx-$cpus")).min
+    val times = (1 to reps).map(_ => buildOnce(s, turns, s"/tmp/graft-scale-idx-$cpus"))
     s.stop()
-    println(f"LEGSEC=$best%.3f")
+    println(s"LEGCPUS=$cpusAllowed")
+    println("LEGREPS=" + times.map(t => f"$t%.3f").mkString(","))
   }
 }
