@@ -89,8 +89,21 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
 
-  /** Block count for the exact all-pairs stage (pair-groups = B*(B+1)/2). */
-  private val PairBlocks = 16
+  /** Floor for the all-pairs block count (pair-groups = B*(B+1)/2). */
+  private[graft] val DefaultPairBlocks = 16
+
+  /** Per-task buffer budget for the pair kernels, in rows: each pair-group
+    * task holds ONE block in memory (the other side streams), so the task
+    * heap is bounded by TargetRowsPerBlock rows regardless of corpus size. */
+  private[graft] val TargetRowsPerBlock = 1L << 14
+
+  /** Blocks so that a block ≈ TargetRowsPerBlock rows: B = ceil(n/target),
+    * floored at DefaultPairBlocks. Shuffle volume is B×n (replication factor
+    * B) — the unavoidable O(n²/target) cost of EXACT all-pairs, spread over
+    * B² independent tasks; past ~10⁸ rows that is the signal to switch to
+    * the sub-quadratic members (minhashLsh / embedDupPairsAnn). */
+  private[graft] def pairBlocksFor(rows: Long, floor: Int = DefaultPairBlocks): Int =
+    math.max(floor, math.ceil(rows.toDouble / TargetRowsPerBlock).toInt)
 
   /** Exact token-set Jaccard near-dup pairs — the brute-force member of the
     * family, kept exact but made distributed:
@@ -105,10 +118,13 @@ object Dedup {
     * the exact operator must hold its worst case. minhashLsh below is the
     * sub-quadratic approximate path.
     */
-  def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(documents: DataFrame, threshold: Double,
+                   blocks: Option[Int] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val B = PairBlocks
+    // B from input size (results are B-invariant — OpsSpec asserts it): one
+    // cheap columnless count; at 100 TB this is parquet-footer arithmetic
+    val B = blocks.getOrElse(pairBlocksFor(documents.count()))
     val groups = setGroups(documents)
     val sets: Dataset[(Array[String], Array[Long])] =
       groups.select(col("ts"), col("members")).as[(Array[String], Array[Long])]
@@ -123,40 +139,28 @@ object Dedup {
     val thr = threshold
     val crossPairs = tagged
       .groupByKey(_._1)
-      .flatMapGroups { (pid: Int, it: Iterator[(Int, Int, Array[String], Array[Long])]) =>
+      // rows arrive sorted by block id: an off-diagonal pair-group BUFFERS
+      // only block i (≈ TargetRowsPerBlock rows — the per-task memory bound)
+      // and STREAMS block j against it; a diagonal group holds its one block
+      .flatMapSortedGroups($"_2") { (pid: Int, it: Iterator[(Int, Int, Array[String], Array[Long])]) =>
         val i = pid / B
-        val xs = scala.collection.mutable.ArrayBuffer[(Array[String], Array[Long])]()
-        val ys = scala.collection.mutable.ArrayBuffer[(Array[String], Array[Long])]()
-        it.foreach { case (_, blk, ts, m) =>
-          if (blk == i) xs += ((ts, m)) else ys += ((ts, m))
-        }
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        def score(x: (Array[String], Array[Long]), y: (Array[String], Array[Long])): Unit = {
+        def pairsOf(x: (Array[String], Array[Long]), y: (Array[String], Array[Long])): Iterator[(Long, Long, Double)] = {
           val jv = jaccardOf(x._1, y._1)
-          if (jv >= thr) {
-            var p = 0
-            while (p < x._2.length) {
-              var q = 0
-              while (q < y._2.length) {
-                val da = x._2(p); val db = y._2(q)
-                out += ((math.min(da, db), math.max(da, db), jv))
-                q += 1
-              }
-              p += 1
-            }
-          }
+          if (jv < thr) Iterator.empty
+          else for { da <- x._2.iterator; db <- y._2.iterator }
+            yield (math.min(da, db), math.max(da, db), jv)
         }
-        if (pid / B == pid % B) { // diagonal group (i == j): within-block pairs
-          var p = 0
-          while (p < xs.length) {
-            var q = p + 1
-            while (q < xs.length) { score(xs(p), xs(q)); q += 1 }
-            p += 1
+        if (i == pid % B) { // diagonal (i == j): within-block pairs
+          val xs = it.map { case (_, _, ts, m) => (ts, m) }.toArray
+          xs.indices.iterator.flatMap { p =>
+            (p + 1 until xs.length).iterator.flatMap(q => pairsOf(xs(p), xs(q)))
           }
         } else {
-          xs.foreach(x => ys.foreach(y => score(x, y)))
+          val buf = scala.collection.mutable.ArrayBuffer[(Array[String], Array[Long])]()
+          val bi = it.buffered
+          while (bi.hasNext && bi.head._2 == i) { val r = bi.next(); buf += ((r._3, r._4)) }
+          bi.flatMap { case (_, _, ts, m) => buf.iterator.flatMap(x => pairsOf(x, (ts, m))) }
         }
-        out.iterator
       }
       .toDF("a", "b", "j")
 
@@ -199,10 +203,11 @@ object Dedup {
     *      only (full signatures ride along; a post-join predicate keeps
     *      band == min matching band) — unique candidates with NO distinct
     *      shuffle over the candidate set;
-    *   3. verify joins candidates back to the set table (plain shuffled
-    *      joins — AQE may pick broadcast when a side is actually small;
-    *      nothing forces the full token-set table to every executor) and
-    *      scores J with the compiled merge-intersection kernel (the Catalyst
+    *   3. verify is CANDIDATE-DRIVEN: a tiny (sid, pair-group) routing table
+    *      derived from the candidates joins the set table (planner-chosen —
+    *      broadcast when small), so only candidate members' arrays ship, to
+    *      exactly the pair-groups holding their candidates; a cogroup scores
+    *      J with the compiled merge-intersection kernel (the Catalyst
     *      array_intersect/array_union pair builds hash sets per row — ~10x
     *      slower on short sorted arrays);
     *   4. qualifying set pairs expand to member cross-products in the same
@@ -239,26 +244,29 @@ object Dedup {
       .filter(col("x.band") === firstBand)
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
 
-    // block-local verify: the heavy token/member ARRAYS ship once per set per
-    // block pair-group (B copies of the m-row set table), the candidate
-    // stream ships as bare (sa, sb) longs to its pair-group; a cogroup then
-    // verifies by hash lookup + merge-intersection kernel. Joining the array
-    // columns onto 10^6+ candidate rows instead (round-1 shape) deserializes
-    // the arrays once PER PAIR — measured 7x slower than this at the gate.
-    val B = PairBlocks
-    val setsTagged = groups
-      .select(col("ts"), col("members")).as[(Array[String], Array[Long])]
-      .flatMap { case (ts, members) =>
-        val blk = (members(0) % B).toInt
-        (0 until B).iterator.map { o =>
-          val i = math.min(blk, o); val j = math.max(blk, o)
-          (i * B + j, ts, members)
-        }
-      }
-    val candTagged = cand.as[(Long, Long)].map { case (sa, sb) =>
+    // CANDIDATE-DRIVEN block-local verify: only sets that actually appear in
+    // a candidate pair ship to the cogroup, routed to exactly the pair-groups
+    // where their candidates live — verify shuffle volume AND per-task memory
+    // scale with candidates, not corpus (the round-2 shape flatMapped the
+    // ENTIRE set table to all B pair-groups: 16× the corpus of dead weight
+    // at a high threshold where candidates are rare). The (sid, pid) routing
+    // table is tiny (2×|cand| rows of longs), so the planner/AQE picks a
+    // broadcast join and the heavy set table never shuffles at all — it is
+    // scanned, filtered to candidate members, and tagged in place. Joining
+    // the array columns onto candidate ROWS instead (round-1 shape)
+    // deserializes the arrays once PER PAIR — measured 7× slower.
+    val B = DefaultPairBlocks
+    def pidOf(sa: Long, sb: Long): Int = {
       val i = (sa % B).toInt; val j = (sb % B).toInt
-      (math.min(i, j) * B + math.max(i, j), sa, sb)
+      math.min(i, j) * B + math.max(i, j)
     }
+    val sidPid = cand.as[(Long, Long)]
+      .flatMap { case (sa, sb) => val p = pidOf(sa, sb); Iterator((sa, p), (sb, p)) }
+      .toDF("sid", "pid").distinct()
+    val setsTagged = groups.join(sidPid, "sid")
+      .select(col("pid"), col("ts"), col("members"))
+      .as[(Int, Array[String], Array[Long])]
+    val candTagged = cand.as[(Long, Long)].map { case (sa, sb) => (pidOf(sa, sb), sa, sb) }
     val thr = threshold
     val crossPairs = setsTagged.groupByKey(_._1)
       .cogroup(candTagged.groupByKey(_._1)) { (_, setsIt, candIt) =>

@@ -46,8 +46,8 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Block count for the exact all-pairs stage. */
-  private val PairBlocks = 8
+  /** Floor for the all-pairs block count. */
+  private[ops] val DefaultPairBlocks = 8
 
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= threshold —
     * the embedding member of the dedup family.
@@ -59,13 +59,16 @@ object Similarity {
     * O(n^2) compares; this is its scale-safe shape — when exactness can be
     * traded, AnnIndex's bucket join generates candidates sub-quadratically.
     */
-  def embedDupPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+  def embedDupPairs(spark: SparkSession, sfDir: String, threshold: Double,
+                    blocks: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val B = PairBlocks
     val items: Dataset[(Long, Array[Float])] = spark.read
       .parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
+    // B from input size (results are B-invariant — OpsSpec asserts it);
+    // block ≈ Dedup.TargetRowsPerBlock rows = the per-task buffer bound
+    val B = blocks.getOrElse(Dedup.pairBlocksFor(items.count(), DefaultPairBlocks))
 
     val tagged = items.flatMap { case (id, v) =>
       val blk = (id % B).toInt
@@ -77,30 +80,26 @@ object Similarity {
     val thr = threshold
     tagged
       .groupByKey(_._1)
-      .flatMapGroups { (pid: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
+      // sorted by block id: buffer block i only, stream block j (per-task
+      // memory = one block, regardless of corpus size)
+      .flatMapSortedGroups($"_2") { (pid: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
         val i = pid / B
-        val xs = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
-        val ys = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
-        it.foreach { case (_, blk, id, v) =>
-          if (blk == i) xs += ((id, v)) else ys += ((id, v))
-        }
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        def score(x: (Long, Array[Float]), y: (Long, Array[Float])): Unit = {
+        def scored(x: (Long, Array[Float]), y: (Long, Array[Float])): Iterator[(Long, Long, Double)] = {
           val c = cosineOf(x._2, y._2)
-          if (c >= thr)
-            out += ((math.min(x._1, y._1), math.max(x._1, y._1), c))
+          if (c >= thr) Iterator.single((math.min(x._1, y._1), math.max(x._1, y._1), c))
+          else Iterator.empty
         }
-        if (pid / B == pid % B) { // diagonal: within-block pairs
-          var p = 0
-          while (p < xs.length) {
-            var q = p + 1
-            while (q < xs.length) { score(xs(p), xs(q)); q += 1 }
-            p += 1
+        if (i == pid % B) { // diagonal: within-block pairs
+          val xs = it.map { case (_, _, id, v) => (id, v) }.toArray
+          xs.indices.iterator.flatMap { p =>
+            (p + 1 until xs.length).iterator.flatMap(q => scored(xs(p), xs(q)))
           }
         } else {
-          xs.foreach(x => ys.foreach(y => score(x, y)))
+          val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+          val bi = it.buffered
+          while (bi.hasNext && bi.head._2 == i) { val r = bi.next(); buf += ((r._3, r._4)) }
+          bi.flatMap { case (_, _, id, v) => buf.iterator.flatMap(x => scored(x, (id, v))) }
         }
-        out.iterator
       }
       .toDF("a", "b", "cos_raw")
       .select(col("a"), col("b"), round(col("cos_raw"), 6).as("cos"))

@@ -89,6 +89,19 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("pair kernels are block-count-invariant (per-task memory bound is a free knob)") {
+    // B only partitions the work: results must be identical at any block
+    // count — this is what makes pairBlocksFor(n) a pure memory/parallelism
+    // dial (one block ≈ TargetRowsPerBlock rows buffered per task)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(sig(Dedup.jaccardPairs(docs, 0.95, Some(2))) ==
+           sig(Dedup.jaccardPairs(docs, 0.95, Some(16))))
+    assert(sig(Similarity.embedDupPairs(spark, sf, 0.4, Some(3))) ==
+           sig(Similarity.embedDupPairs(spark, sf, 0.4, Some(8))))
+    assert(Dedup.pairBlocksFor(0L) == Dedup.DefaultPairBlocks)
+    assert(Dedup.pairBlocksFor(100L * Dedup.TargetRowsPerBlock) == 100)
+  }
+
   test("token-less docs are outside the similarity domain (no J=1 pairs among them)") {
     // two docs with zero analyzer tokens + two true duplicates
     val d = Seq(
