@@ -16,18 +16,31 @@ import org.apache.spark.sql.functions._
   * bucket plus all Hamming-1 neighbors (flipping low-confidence bits first
   * would be the next refinement).
   */
+/** Tuning for the hyperplane-LSH ANN family. `sigBits` sets the bucket count
+  * (2^bits) — the SELECTIVITY knob that must scale with the corpus: expected
+  * candidate volume of a same-bucket join is Σ bucket² ≈ n²/2^bits, so bits
+  * should grow ~2·log2(n) − const (8 bits serves ~10⁵-10⁶ vectors; 10⁹ wants
+  * ~20+, or a two-level IVF). `probeHamming` is the query-time RECALL knob:
+  * probe every bucket within that Hamming distance of the query signature.
+  * Defaults preserve the oracle-matched round-1/2 behavior. */
+final case class AnnConfig(sigBits: Int = Similarity.SigBits, probeHamming: Int = 1) {
+  require(sigBits >= 1 && sigBits <= 30, s"sigBits $sigBits out of range")
+  require(probeHamming >= 0 && probeHamming <= sigBits, s"probeHamming $probeHamming out of range")
+}
+
 object AnnIndex {
 
-  val SigBits: Int = Similarity.SigBits // 8 -> 256 buckets
+  val SigBits: Int = Similarity.SigBits // default: 8 -> 256 buckets
 
   /** Signature bucket of an embedding column (array<float>, `dim` wide). */
-  def bucketCol(emb: String, dim: Int): org.apache.spark.sql.Column =
-    Hyperplanes.bucketCol(col(emb), SigBits, dim)
+  def bucketCol(emb: String, dim: Int, cfg: AnnConfig = AnnConfig()): org.apache.spark.sql.Column =
+    Hyperplanes.bucketCol(col(emb), cfg.sigBits, dim)
 
   /** Build the bucketed index table at `dir` (partitionBy(bucket)). */
-  def build(spark: SparkSession, embeddings: DataFrame, dir: String): Unit = {
+  def build(spark: SparkSession, embeddings: DataFrame, dir: String,
+            cfg: AnnConfig = AnnConfig()): Unit = {
     val bucket = Similarity.dimOf(embeddings) match {
-      case Some(dim) => bucketCol("embedding", dim)
+      case Some(dim) => bucketCol("embedding", dim, cfg)
       case None => lit(0) // empty input: schema-stable empty index
     }
     embeddings
@@ -35,14 +48,22 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }
 
-  /** Probe buckets for a query signature: own bucket + Hamming-1 ring. */
-  def probeBuckets(sig: Int): Seq[Int] =
-    sig +: (0 until SigBits).map(j => sig ^ (1 << j))
+  /** Probe buckets for a query signature: own bucket first, then every
+    * signature within Hamming distance cfg.probeHamming. */
+  def probeBuckets(sig: Int, cfg: AnnConfig = AnnConfig()): Seq[Int] = {
+    def flips(base: Int, startBit: Int, remaining: Int): Seq[Int] =
+      if (remaining == 0) Seq(base)
+      else base +: (startBit until cfg.sigBits).flatMap(j =>
+        flips(base ^ (1 << j), j + 1, remaining - 1))
+    flips(sig, 0, cfg.probeHamming).distinct
+  }
 
-  /** Top-k by cosine among the probe buckets only (partition-pruned scan). */
-  def query(spark: SparkSession, dir: String, queryVec: Array[Float], k: Int): DataFrame = {
-    val sig = Hyperplanes.signatureOf(queryVec, SigBits)
-    val probes = probeBuckets(sig)
+  /** Top-k by cosine among the probe buckets only (partition-pruned scan).
+    * `cfg` must match the one the index was built with. */
+  def query(spark: SparkSession, dir: String, queryVec: Array[Float], k: Int,
+            cfg: AnnConfig = AnnConfig()): DataFrame = {
+    val sig = Hyperplanes.signatureOf(queryVec, cfg.sigBits)
+    val probes = probeBuckets(sig, cfg)
 
     val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     val qLit = array(queryVec.map(v => lit(v.toDouble)): _*)

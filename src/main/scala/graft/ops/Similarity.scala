@@ -114,13 +114,14 @@ object Similarity {
     * oracle-checked exact form; this is the shape that survives 10^9
     * vectors. Multi-probe (Hamming-1 bucket unioning, as in AnnIndex.query)
     * is the recall knob. */
-  def embedDupPairsAnn(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+  def embedDupPairsAnn(spark: SparkSession, sfDir: String, threshold: Double,
+                       cfg: AnnConfig = AnnConfig()): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = dimOf(emb).getOrElse(
       return emb.limit(0).select(col("vec_id").as("a"), col("vec_id").as("b"),
         lit(0).as("bucket"), lit(0.0).as("cos")))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      Hyperplanes.bucketCol(col("embedding"), SigBits, dim).as("bucket"))
+      Hyperplanes.bucketCol(col("embedding"), cfg.sigBits, dim).as("bucket"))
     val x = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
     val y = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
     x.join(y, Seq("bucket")).filter(col("a") < col("b"))
@@ -146,13 +147,14 @@ object Similarity {
   private[ops] def dimOf(emb: DataFrame): Option[Int] =
     emb.select(size(col("embedding"))).limit(1).collect().headOption.map(_.getInt(0))
 
-  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshBuckets(spark: SparkSession, sfDir: String,
+                 cfg: AnnConfig = AnnConfig()): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = dimOf(emb).getOrElse(
       return emb.limit(0).select(lit(0).as("bucket"), lit(0L).as("n"),
         col("vec_id").as("min_vec")))
     emb.select(col("vec_id"),
-        Hyperplanes.bucketCol(col("embedding"), SigBits, dim).as("bucket"))
+        Hyperplanes.bucketCol(col("embedding"), cfg.sigBits, dim).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
       .orderBy("bucket")
   }

@@ -32,6 +32,26 @@ class AnnIndexSpec extends SparkFunSuite {
     assert(parts.exists(_ <= probes.length), s"scanned $parts partitions")
   }
 
+  test("AnnConfig scales selectivity: 12-bit index, Hamming-2 probing") {
+    val cfg = graft.ops.AnnConfig(sigBits = 12, probeHamming = 2)
+    val d = SparkSpec.tmpDir("graft-ann12")
+    AnnIndex.build(spark, spark.read.parquet(s"$sf/embeddings.parquet"), d, cfg)
+    assert(spark.read.parquet(d).count() ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+    // probe ring: own bucket + 12 Hamming-1 + C(12,2)=66 Hamming-2, distinct
+    val probes = AnnIndex.probeBuckets(42, cfg)
+    assert(probes.length == 1 + 12 + 66 && probes.distinct.length == probes.length)
+    assert(probes.forall(p => p >= 0 && p < 4096))
+    assert(probes.forall(p => Integer.bitCount(p ^ 42) <= 2))
+    // a query returns hits, all from buckets within the probe ring
+    val vec = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 1L).collect()(0).getSeq[Float](1).toArray
+    val sig = graft.ops.Hyperplanes.signatureOf(vec, 12)
+    val res = AnnIndex.query(spark, d, vec, 5, cfg).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => Integer.bitCount(r.getInt(2) ^ sig) <= 2))
+  }
+
   test("ANN recall@10 vs exact brute force is reasonable for Hamming-1 probing") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5).collect()
