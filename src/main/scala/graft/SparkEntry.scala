@@ -187,6 +187,19 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "px_chain_blacklist" -> ((s, dir) => {
+      // the reference's canonical [text, tokenfilter] field chain
+      // (TokenParser.java:50-51) with drop-only blacklist semantics: token
+      // positions shift left past dropped tokens, which the positional
+      // oracle reproduces
+      val chain = graft.analyze.AnalyzerChains.parse("text|blacklist:join,hash,the")
+      val f = udf((t: String) => chain.tokens(t))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), posexplode(f(col("text"))))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- training-data pipeline: dedup family ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -283,6 +296,16 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(r.i AS INT) AS pos, L[CAST(r.i AS INT) + 1] AS token
         |FROM v, range(8) AS r(i) ORDER BY doc_id, pos""".stripMargin,
+    "px_chain_blacklist" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    t -> length(t) BETWEEN 2 AND 40 AND t NOT IN ('join','hash','the')) AS L
+        |  FROM documents)
+        |SELECT doc_id, CAST(z.e['i'] AS INT) AS pos, z.e['t'] AS token FROM (
+        |  SELECT doc_id, unnest(list_transform(list_zip(L, range(len(L))),
+        |    p -> {'t': p[1], 'i': p[2]})) AS e
+        |  FROM tl) z
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

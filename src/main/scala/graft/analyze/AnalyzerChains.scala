@@ -44,10 +44,23 @@ object AnalyzerChains {
     case "regexcheck" =>
       val keep = TokenFunctions.regexCheck(param)
       ts => ts.filter(keep)
+    case "blacklist" | "tokenfilter" =>
+      // the reference's canonical field chain ends in tokenfilter
+      // (TokenParser.java:50-51, dispatch :123-135) with drop-only
+      // `precision: 0` semantics (FilterFunction.java:11-31) — the common
+      // production config. The STATEFUL 1-in-N sampling variant
+      // (precision>0, one instance per mapper) stays available as
+      // TokenFunctions.BlacklistFilter for mapPartitions use; a chain stage
+      // must be a pure function (it is re-instantiated per task closure).
+      // Param is the comma-separated blacklist; large lists belong in a
+      // broadcast variable-backed Analyzer, not a config string.
+      val bl = param.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      ts => ts.filterNot(bl.contains)
     case "cjk" => _.flatMap(CjkBigramAnalyzer.tokens)
     case other => throw new IllegalArgumentException(
       s"unknown tokenizer stage '$other' (registry: text keyword lowercase split url " +
-        "path pathWithUrlencode ip urldecode urlencode base64decode base64decodeInflate regexcheck cjk)")
+        "path pathWithUrlencode ip urldecode urlencode base64decode base64decodeInflate " +
+        "regexcheck blacklist/tokenfilter cjk)")
   }
 
   /** Parse a chain spec; fails fast on unknown stages. */

@@ -63,6 +63,25 @@ class ChainSpec extends SparkFunSuite {
     assert(viaCol == CjkBigramAnalyzer.tokens("mix 中文 end"))
   }
 
+  test("blacklist/tokenfilter stage drops listed tokens (reference's standard [text, tokenfilter] chain)") {
+    val c = AnalyzerChains.parse("text|blacklist:the,ok")
+    assert(c.tokens("The deploy is OK the end") == Seq("deploy", "is", "end"))
+    // tokenfilter is the reference's name for the same stage
+    assert(AnalyzerChains.parse("text|tokenfilter:the,ok").tokens("The deploy is OK the end") ==
+      Seq("deploy", "is", "end"))
+    // index built with the chained field: blacklisted terms are absent
+    val turns = Seq(
+      ("c-0", 0, "the error is ok"),
+      ("c-0", 1, "another error line")
+    ).toDF("conv_id", "turn_idx", "text")
+    val analyzers: Map[String, Analyzer] = Map("text" -> AnalyzerChains.parse("text|blacklist:the,ok"))
+    val dir = SparkSpec.tmpDir("graft-chain-bl")
+    IndexBuilder.build(spark, turns, dir, IndexConfig(buckets = 4, chunkDocs = 16), analyzers)
+    val eng = new QueryEngine(spark, dir)
+    assert(eng.topK(SearchQuery(Seq("text" -> "the"), 10)).collect().isEmpty)
+    assert(eng.topK(SearchQuery(Seq("text" -> "error"), 10)).collect().length == 2)
+  }
+
   test("END-TO-END: custom url field via chain analyzer, no library edits") {
     val analyzers: Map[String, Analyzer] = Map(
       "text" -> TextAnalyzer,
