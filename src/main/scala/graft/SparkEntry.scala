@@ -151,6 +151,7 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
     "stream_hourly" -> ((s, dir) => EventStream.hourlyByType(s, dir)),
+    "stream_hourly_append" -> ((s, dir) => EventStream.hourlyAppendGate(s, dir)),
 
     // ---- field extraction: reference line formats JSON/TAB/KV (P1-P3,
     // CommonLogParser.java:49-61; dotted-path JSON TokenParser.java:87-121) ----
@@ -342,6 +343,14 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_hourly_append" ->
+      // append mode emits only windows the watermark closed: hour end <=
+      // max(ts) - 1 hour (the declared lateness bound)
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "px_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k

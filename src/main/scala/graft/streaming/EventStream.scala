@@ -58,6 +58,44 @@ object EventStream {
     spark.table(table).orderBy("hour", "event_type")
   }
 
+  /** Gate harness for the append-mode production shape below: feeds the
+    * batch events table as TWO chronological micro-batches through
+    * `hourlyAppendToParquet` (so the emit-once-on-watermark path actually
+    * runs across batch boundaries) and returns the parquet the stream
+    * wrote. Output rows exist only for windows the final watermark closed —
+    * hour end <= max(ts) - 1 hour — each exactly once, which is what the
+    * DuckDB oracle reproduces. Chronological batches mean nothing arrives
+    * beyond-bound late, so no rows drop and the oracle stays exact. */
+  def hourlyAppendGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-append")
+    base.toFile.deleteOnExit()
+    val src = s"$base/src"; val out = s"$base/out"; val ckp = s"$base/ckp"
+    new java.io.File(src).mkdirs()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val n = ev.count()
+    // single-partition rank is gate-harness plumbing (deterministic halves),
+    // not the production operator — that is hourlyAppendToParquet itself
+    val ranked = ev.withColumn("rn", row_number().over(Window.orderBy("ts", "event_id")))
+    def writeBatch(name: String, df: DataFrame): Unit = {
+      val stage = s"$base/stage-$name"
+      df.drop("rn").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(src, s"$name.parquet"))
+    }
+    writeBatch("b1", ranked.filter(col("rn") <= n / 2))
+    val q = hourlyAppendToParquet(spark, src, out, ckp)
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", ranked.filter(col("rn") > n / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.schema("hour STRING, event_type STRING, n BIGINT, sum_value DOUBLE")
+      .parquet(out).orderBy("hour", "event_type")
+  }
+
   /** Production shape — the reference's size/lateness flush (T2/T3,
     * logto_hdfs_collector.go:337-390) as a watermarked APPEND-mode stream to
     * a parquet sink: a window row is written exactly once, when the
