@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.query.QueryEngine
+
+/** Interactive-latency breakdown (diagnostic): splits each query rep into
+  * DataFrame construction, Catalyst analysis+planning, and execution, to
+  * show where the per-query floor lives. Args: [indexDir]. */
+object LatProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-bench-idx-32")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("latprobe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", graft.Sessions.localDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = new QueryEngine(spark, dir)
+    graft.Bench.QuerySet.foreach { case (_, q) => e.topK(q).collect() } // warm
+    graft.Bench.QuerySet.foreach { case (name, q) =>
+      val reps = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val df = e.topK(q)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis + optimization + planning
+        val t2 = System.nanoTime()
+        df.collect()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e6, (t2 - t1) / 1e6, (t3 - t2) / 1e6)
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      println(f"[latprobe] $name%-18s build=${med(reps.map(_._1))}%6.1fms " +
+        f"plan=${med(reps.map(_._2))}%6.1fms exec=${med(reps.map(_._3))}%6.1fms")
+    }
+    spark.stop()
+  }
+}

@@ -51,6 +51,24 @@ class EndToEndSpec extends SparkFunSuite {
     }
   }
 
+  test("norms paths agree: driver-cached LocalRelation == distributed semi-join") {
+    // the serving fast path injects cached norms as a LocalRelation; the
+    // 100 TB path semi-joins norms to chunks with postings. Same results
+    // required on the full query set (rank identity covers the fast path —
+    // here a size-cap override of 0 forces a fresh engine onto the
+    // distributed path and both are compared directly).
+    val prop = "graft.norms.cache.max.bytes"
+    sys.props(prop) = "0"
+    try {
+      val distEngine = new QueryEngine(spark, indexDir)
+      queries.foreach { case (name, q) =>
+        val fast = engine.topK(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val dist = distEngine.topK(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(fast == dist, s"$name: fast=$fast dist=$dist")
+      }
+    } finally sys.props.remove(prop)
+  }
+
   test("per-turn text equality: fetched text == generator text for every hit") {
     val q = queries(1)._2 // error AND timeout
     val rows = engine.fetch(q).collect()
