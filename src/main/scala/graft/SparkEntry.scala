@@ -205,6 +205,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
@@ -367,6 +369,20 @@ object SparkEntry {
         |SELECT h.doc_id, h.h, h.doc_id = k.keeper AS is_keeper, k.n_copies
         |FROM h JOIN k USING (h) ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tt.term
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+        |  WHERE length(tt.term) BETWEEN 2 AND 40),
+        |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 6) AS j
+        |FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) >= 0.95
+        |ORDER BY a, b""".stripMargin,
+    // prefix filtering is EXACT: same oracle as the brute-force dedup_jaccard
+    "dedup_jaccard_prefix" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, tt.term
         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)

@@ -169,6 +169,88 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Candidate-driven exact-Jaccard verification, shared by minhashLsh and
+    * jaccardPairsPrefix: candidates (sa, sb) route to block pair-groups; a
+    * tiny (sid, pid) table joins the set table (planner-chosen broadcast) so
+    * ONLY candidate members' token arrays ship; a cogroup scores J with the
+    * merge-intersection kernel and expands qualifying set pairs to member
+    * cross-products. Shuffle volume and per-task memory scale with
+    * candidates, not corpus. */
+  private def verifyCandidatePairs(groups: DataFrame, cand: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val spark = groups.sparkSession
+    import spark.implicits._
+    val B = DefaultPairBlocks
+    def pidOf(sa: Long, sb: Long): Int = {
+      val i = (sa % B).toInt; val j = (sb % B).toInt
+      math.min(i, j) * B + math.max(i, j)
+    }
+    val sidPid = cand.as[(Long, Long)]
+      .flatMap { case (sa, sb) => val p = pidOf(sa, sb); Iterator((sa, p), (sb, p)) }
+      .toDF("sid", "pid").distinct()
+    val setsTagged = groups.join(sidPid, "sid")
+      .select(col("pid"), col("ts"), col("members"))
+      .as[(Int, Array[String], Array[Long])]
+    val candTagged = cand.as[(Long, Long)].map { case (sa, sb) => (pidOf(sa, sb), sa, sb) }
+    val thr = threshold
+    setsTagged.groupByKey(_._1)
+      .cogroup(candTagged.groupByKey(_._1)) { (_, setsIt, candIt) =>
+        val bySid = scala.collection.mutable.HashMap[Long, (Array[String], Array[Long])]()
+        setsIt.foreach { case (_, ts, m) => bySid(m(0)) = (ts, m) }
+        candIt.flatMap { case (_, sa, sb) =>
+          val (tsa, ma) = bySid(sa)
+          val (tsb, mb) = bySid(sb)
+          val jv = jaccardOf(tsa, tsb)
+          if (jv < thr) Iterator.empty
+          else for { da <- ma.iterator; db <- mb.iterator }
+            yield (math.min(da, db), math.max(da, db), jv)
+        }
+      }
+      .toDF("a", "b", "j")
+  }
+
+  /** Exact Jaccard pairs via PREFIX FILTERING — the standard sub-quadratic
+    * EXACT member of the family (AllPairs/SSJoin lineage), complementing the
+    * block-exact jaccardPairs (worst-case-safe) and minhashLsh (approximate):
+    *   1. collapse to distinct-set groups;
+    *   2. global token order = (set-level df ASC, term): rare tokens sort
+    *      first, so prefixes are built from rare tokens and the candidate
+    *      join stays small;
+    *   3. a set of size L contributes its first L - ceil(t·L) + 1 tokens as
+    *      its PREFIX; for any pair with J >= t the smallest common token
+    *      (in the global order) lies in BOTH prefixes (pigeonhole: a set
+    *      whose whole prefix misses the intersection has at most
+    *      ceil(t·L) - 1 < t·L <= |intersection| common tokens), so the
+    *      prefix-token equi-self-join loses nothing — EXACT recall;
+    *   4. verify + expand via the shared candidate-driven cogroup.
+    * Candidate volume = Σ over prefix tokens of df² — sub-quadratic whenever
+    * df ≪ n; degenerate only when the corpus is one near-identical blob, in
+    * which case the OUTPUT itself is quadratic. */
+  def jaccardPairsPrefix(documents: DataFrame, threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
+    val groups = setGroups(documents)
+    val tok = groups.select(col("sid"), explode(col("ts")).as("term"))
+    val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    // prefix per set, sorted by (df, term); the 1e-9 slack keeps a binary-FP
+    // ceil(0.95*20)=20 from shortening a prefix whose true t·L is integral
+    // (shorter prefix = possible missed pair; longer = extra candidate only)
+    val pref = tok.join(dfT, "term")
+      .groupBy("sid")
+      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("dts"))
+      .withColumn("plen",
+        (size(col("dts")) + lit(1) - ceil(lit(threshold) * size(col("dts")) - lit(1e-9))).cast("int"))
+      .select(col("sid"), explode(slice(col("dts"), lit(1), col("plen"))).as("dt"))
+      .select(col("sid"), col("dt.term").as("term"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.term") === col("y.term") && col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
+      .distinct()
+    verifyCandidatePairs(groups, cand, threshold)
+      .unionAll(sameSetPairs(groups))
+      .select(col("a"), col("b"), round(col("j"), 6).as("j"))
+      .orderBy("a", "b")
+  }
+
   val MinhashP = 2147483647L // 2^31 - 1
   val NumHashes = 16
   val BandRows = 4 // 4 bands x 4 rows
@@ -244,45 +326,17 @@ object Dedup {
       .filter(col("x.band") === firstBand)
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
 
-    // CANDIDATE-DRIVEN block-local verify: only sets that actually appear in
-    // a candidate pair ship to the cogroup, routed to exactly the pair-groups
-    // where their candidates live — verify shuffle volume AND per-task memory
-    // scale with candidates, not corpus (the round-2 shape flatMapped the
-    // ENTIRE set table to all B pair-groups: 16× the corpus of dead weight
-    // at a high threshold where candidates are rare). The (sid, pid) routing
-    // table is tiny (2×|cand| rows of longs), so the planner/AQE picks a
-    // broadcast join and the heavy set table never shuffles at all — it is
-    // scanned, filtered to candidate members, and tagged in place. Joining
-    // the array columns onto candidate ROWS instead (round-1 shape)
-    // deserializes the arrays once PER PAIR — measured 7× slower.
-    val B = DefaultPairBlocks
-    def pidOf(sa: Long, sb: Long): Int = {
-      val i = (sa % B).toInt; val j = (sb % B).toInt
-      math.min(i, j) * B + math.max(i, j)
-    }
-    val sidPid = cand.as[(Long, Long)]
-      .flatMap { case (sa, sb) => val p = pidOf(sa, sb); Iterator((sa, p), (sb, p)) }
-      .toDF("sid", "pid").distinct()
-    val setsTagged = groups.join(sidPid, "sid")
-      .select(col("pid"), col("ts"), col("members"))
-      .as[(Int, Array[String], Array[Long])]
-    val candTagged = cand.as[(Long, Long)].map { case (sa, sb) => (pidOf(sa, sb), sa, sb) }
-    val thr = threshold
-    val crossPairs = setsTagged.groupByKey(_._1)
-      .cogroup(candTagged.groupByKey(_._1)) { (_, setsIt, candIt) =>
-        val bySid = scala.collection.mutable.HashMap[Long, (Array[String], Array[Long])]()
-        setsIt.foreach { case (_, ts, m) => bySid(m(0)) = (ts, m) }
-        candIt.flatMap { case (_, sa, sb) =>
-          val (tsa, ma) = bySid(sa)
-          val (tsb, mb) = bySid(sb)
-          val jv = jaccardOf(tsa, tsb)
-          if (jv < thr) Iterator.empty
-          else for { da <- ma.iterator; db <- mb.iterator }
-            yield (math.min(da, db), math.max(da, db), jv)
-        }
-      }
-      .toDF("a", "b", "j")
-    crossPairs.unionAll(sameSetPairs(groups))
+    // CANDIDATE-DRIVEN block-local verify (shared verifyCandidatePairs):
+    // only sets that actually appear in a candidate pair ship to the
+    // cogroup, routed to exactly the pair-groups where their candidates
+    // live — verify shuffle volume AND per-task memory scale with
+    // candidates, not corpus (the round-2 shape flatMapped the ENTIRE set
+    // table to all B pair-groups: 16× the corpus of dead weight at a high
+    // threshold where candidates are rare). Joining the array columns onto
+    // candidate ROWS instead (round-1 shape) deserializes the arrays once
+    // PER PAIR — measured 7× slower.
+    verifyCandidatePairs(groups, cand, threshold)
+      .unionAll(sameSetPairs(groups))
       .select(col("a"), col("b"), round(col("j"), 6).as("j"))
       .orderBy("a", "b")
   }

@@ -110,8 +110,23 @@ class OpsSpec extends SparkFunSuite {
       .toDF("doc_id", "text")
     val jp = Dedup.jaccardPairs(d, 0.95).collect().map(r => (r.getLong(0), r.getLong(1)))
     val lp = Dedup.minhashLsh(d, 0.95).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pp = Dedup.jaccardPairsPrefix(d, 0.95).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(jp.toSeq == Seq((3L, 4L)), s"jaccard pairs: ${jp.toSeq}")
     assert(lp.toSeq == Seq((3L, 4L)), s"lsh pairs: ${lp.toSeq}")
+    assert(pp.toSeq == Seq((3L, 4L)), s"prefix pairs: ${pp.toSeq}")
+  }
+
+  test("prefix-filter jaccard is EXACT: equals brute-force output, including boundary J") {
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(sig(Dedup.jaccardPairsPrefix(docs, 0.95)) == sig(Dedup.jaccardPairs(docs, 0.95)))
+    // boundary case J == t exactly: 19 shared tokens, union 21, t = 19/21
+    val xs = (1 to 19).map(i => f"tok$i%03d")
+    val d = Seq(
+      (1L, (xs :+ "only1").mkString(" ")),
+      (2L, (xs :+ "only2").mkString(" "))).toDF("doc_id", "text")
+    val p = Dedup.jaccardPairsPrefix(d, 19.0 / 21.0).collect()
+    assert(p.length == 1 && p(0).getLong(0) == 1L && p(0).getLong(1) == 2L,
+      s"boundary pair missed: ${p.toSeq}")
   }
 
   test("empty embeddings table: ann operators return schema-stable empty frames") {
