@@ -216,6 +216,22 @@ object SparkEntry {
     "dedup_embed" -> ((s, dir) => Similarity.embedDupPairs(s, dir, 0.4)),
     "dedup_embed_ann" -> ((s, dir) => Similarity.embedDupPairsAnn(s, dir, 0.4)),
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
+    "ann_ivf_buckets" -> ((s, dir) => graft.ops.IvfIndex.ivfBuckets(s, dir, 16)),
+    "ann_ivf_top10" -> ((s, dir) => {
+      // IVF-flat end-to-end: build the partitionBy(centroid) index, probe
+      // the query vector's 4 nearest inverted lists, exact-cosine re-rank
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = graft.ops.IvfIndex.centroids(emb, 16)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-gate")
+      idx.toFile.deleteOnExit()
+      graft.ops.IvfIndex.build(s, emb, idx.toString, 16)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      graft.ops.IvfIndex.query(s, idx.toString, cents, qv, 10, nprobe = 4)
+        .select(col("vec_id"), col("label"), col("centroid").cast("int").as("centroid"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+    }),
 
     // ---- text analysis ----
     "text_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
@@ -482,6 +498,55 @@ object SparkEntry {
          |  SELECT vec_id, ($bitCols) AS bucket FROM embeddings)
          |GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    // IVF centroids = the 16 lowest-vec_id vectors (deterministic coarse
+    // quantizer, Lloyd refinement orthogonal to the contract); assignment =
+    // argmin L2 with ties to the lower centroid id — FP shapes identical on
+    // both sides (dim-ascending left folds)
+    "ann_ivf_buckets" ->
+      """WITH c AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS ce
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.embedding, c.ce),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+        |  WHERE rn = 1)
+        |SELECT cid AS centroid, CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_vec
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_ivf_top10" ->
+      """WITH c AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, embedding AS ce
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.embedding, c.ce),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+        |  WHERE rn = 1),
+        |probes AS (SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT 4),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id, e.label, a.cid AS centroid,
+        |    list_reduce(list_transform(list_zip(e.embedding, (SELECT qe FROM q)),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (p, r) -> p + r) /
+        |    (sqrt(list_reduce(list_transform(e.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (p, r) -> p + r)) *
+        |     (SELECT sqrt(list_reduce(list_transform(qe,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (p, r) -> p + r)) FROM q)) AS cos
+        |  FROM embeddings e JOIN a USING (vec_id)
+        |  WHERE a.cid IN (SELECT cid FROM probes))
+        |SELECT vec_id, label, centroid, round(cos, 6) AS cos
+        |FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,
