@@ -57,10 +57,13 @@ object AnalyzerChains {
       val bl = param.split(',').map(_.trim).filter(_.nonEmpty).toSet
       ts => ts.filterNot(bl.contains)
     case "cjk" => _.flatMap(CjkBigramAnalyzer.tokens)
+    case "cjkdict" =>
+      val a = CjkDictAnalyzer(param.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      ts => ts.flatMap(a.tokens)
     case other => throw new IllegalArgumentException(
       s"unknown tokenizer stage '$other' (registry: text keyword lowercase split url " +
         "path pathWithUrlencode ip urldecode urlencode base64decode base64decodeInflate " +
-        "regexcheck blacklist/tokenfilter cjk)")
+        "regexcheck blacklist/tokenfilter cjk cjkdict)")
   }
 
   /** Parse a chain spec; fails fast on unknown stages. */
@@ -104,6 +107,71 @@ final case class ChainAnalyzer(chainSpec: String) extends Analyzer {
   }
 }
 
+/** Dictionary-driven CJK segmenter — the reference's IK-analyzer slot
+  * (plugin/Function/TextFunction.java:16-89 wraps IK smart segmentation)
+  * filled with a real dictionary algorithm: FORWARD MAXIMUM MATCHING over
+  * CJK ideograph runs (at each position take the longest dictionary word,
+  * else emit the single character — the standard reproducible baseline; IK
+  * adds probabilistic disambiguation on top of the same dictionary walk).
+  * Latin runs tokenize under TextAnalyzer's rules like CjkBigramAnalyzer.
+  *
+  * Chain stage `cjkdict:w1,w2,...` covers config-sized dictionaries;
+  * programmatic use passes any Set (the analyzer serializes its spec, so a
+  * large dictionary should come from a broadcast-backed custom Analyzer —
+  * same slot, bigger payload).
+  */
+final case class CjkDictAnalyzer(dict: Set[String]) extends Analyzer {
+
+  @transient private lazy val maxWordLen: Int =
+    if (dict.isEmpty) 1 else dict.iterator.map(_.length).max
+
+  override def spec: String = "cjkdict:" + dict.toSeq.sorted.mkString(",")
+
+  private def segmentRun(run: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    var i = 0
+    while (i < run.length) {
+      var matched = 0
+      var l = math.min(maxWordLen, run.length - i)
+      while (matched == 0 && l >= 2) {
+        if (dict.contains(run.substring(i, i + l))) matched = l
+        l -= 1
+      }
+      if (matched > 0) { out += run.substring(i, i + matched); i += matched }
+      else { out += run.substring(i, i + 1); i += 1 } // OOV: single char
+    }
+  }
+
+  override def tokens(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (CjkBigramAnalyzer.isCjk(cp)) {
+        var j = i
+        while (j < n && CjkBigramAnalyzer.isCjk(text.codePointAt(j)))
+          j += Character.charCount(text.codePointAt(j))
+        segmentRun(text.substring(i, j), out)
+        i = j
+      } else {
+        val start = i
+        var j = i
+        while (j < n && !CjkBigramAnalyzer.isCjk(text.codePointAt(j)))
+          j += Character.charCount(text.codePointAt(j))
+        out ++= TextAnalyzer.tokens(text.substring(start, j))
+        i = j
+      }
+    }
+    out.toSeq
+  }
+
+  override def tokensCol(c: Column): Column = {
+    val f = udf((s: String) => tokens(s))
+    when(c.isNull, array().cast("array<string>")).otherwise(f(c))
+  }
+}
+
 /** CJK-capable analyzer: latin runs tokenize under TextAnalyzer's rules; CJK
   * ideograph runs emit overlapping character BIGRAMS (a lone CJK char emits
   * itself) — the standard segmentation-free stand-in for the reference's IK
@@ -113,7 +181,7 @@ final case class ChainAnalyzer(chainSpec: String) extends Analyzer {
   */
 object CjkBigramAnalyzer extends Analyzer {
 
-  private def isCjk(cp: Int): Boolean =
+  private[analyze] def isCjk(cp: Int): Boolean =
     Character.isIdeographic(cp) ||
       (cp >= 0x3040 && cp <= 0x30ff) || // hiragana + katakana
       (cp >= 0xac00 && cp <= 0xd7af)    // hangul syllables

@@ -82,6 +82,27 @@ class ChainSpec extends SparkFunSuite {
     assert(eng.topK(SearchQuery(Seq("text" -> "error"), 10)).collect().length == 2)
   }
 
+  test("cjkdict: forward-maximum-matching segmenter fills the IK slot") {
+    val a = CjkDictAnalyzer(Set("中文", "分词", "中文分词", "引擎"))
+    // longest match wins at each position
+    assert(a.tokens("中文分词引擎") == Seq("中文分词", "引擎"))
+    // without the 4-gram, FMM takes the two bigrams
+    assert(CjkDictAnalyzer(Set("中文", "分词")).tokens("中文分词") == Seq("中文", "分词"))
+    // OOV chars emit singly; latin segments keep TextAnalyzer rules
+    assert(a.tokens("用中文分词 spark ok") == Seq("用", "中文分词", "spark", "ok"))
+    assert(a.tokens(null).isEmpty)
+    // chain-stage form + index end-to-end: the dictionary word is queryable
+    val chain = AnalyzerChains.parse("cjkdict:中文,分词")
+    assert(chain.tokens("中文分词") == Seq("中文", "分词"))
+    val turns = Seq(("c-0", 0, "中文分词 engine")).toDF("conv_id", "turn_idx", "text")
+    val analyzers: Map[String, Analyzer] = Map("text" -> chain)
+    val dir = SparkSpec.tmpDir("graft-chain-cjkdict")
+    IndexBuilder.build(spark, turns, dir, IndexConfig(buckets = 4, chunkDocs = 16), analyzers)
+    val eng = new QueryEngine(spark, dir)
+    assert(eng.topK(SearchQuery.of(Seq("text" -> Seq("分词")), 10, analyzers))
+      .collect().length == 1)
+  }
+
   test("END-TO-END: custom url field via chain analyzer, no library edits") {
     val analyzers: Map[String, Analyzer] = Map(
       "text" -> TextAnalyzer,
