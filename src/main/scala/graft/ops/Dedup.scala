@@ -237,12 +237,18 @@ object Dedup {
     val pref = tok.join(dfT, "term")
       .groupBy("sid")
       .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("dts"))
+      .withColumn("len", size(col("dts")))
       .withColumn("plen",
-        (size(col("dts")) + lit(1) - ceil(lit(threshold) * size(col("dts")) - lit(1e-9))).cast("int"))
-      .select(col("sid"), explode(slice(col("dts"), lit(1), col("plen"))).as("dt"))
-      .select(col("sid"), col("dt.term").as("term"))
+        (col("len") + lit(1) - ceil(lit(threshold) * col("len") - lit(1e-9))).cast("int"))
+      .select(col("sid"), col("len"), explode(slice(col("dts"), lit(1), col("plen"))).as("dt"))
+      .select(col("sid"), col("len"), col("dt.term").as("term"))
+    // size filter (standard AllPairs companion): J >= t forces
+    // t·|x| <= |y| (and symmetrically), since |intersection| <= min and
+    // union >= max — prunes size-mismatched candidates before the distinct
     val cand = pref.as("x").join(pref.as("y"),
-        col("x.term") === col("y.term") && col("x.sid") < col("y.sid"))
+        col("x.term") === col("y.term") && col("x.sid") < col("y.sid") &&
+        col("y.len") >= lit(threshold) * col("x.len") - lit(1e-9) &&
+        col("x.len") >= lit(threshold) * col("y.len") - lit(1e-9))
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
       .distinct()
     verifyCandidatePairs(groups, cand, threshold)

@@ -67,29 +67,30 @@ object EventStream {
     * DuckDB oracle reproduces. Chronological batches mean nothing arrives
     * beyond-bound late, so no rows drop and the oracle stays exact. */
   def hourlyAppendGate(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = java.nio.file.Files.createTempDirectory("graft-stream-append")
     base.toFile.deleteOnExit()
     val src = s"$base/src"; val out = s"$base/out"; val ckp = s"$base/ckp"
     new java.io.File(src).mkdirs()
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val n = ev.count()
-    // single-partition rank is gate-harness plumbing (deterministic halves),
-    // not the production operator — that is hourlyAppendToParquet itself
-    val ranked = ev.withColumn("rn", row_number().over(Window.orderBy("ts", "event_id")))
+    // deterministic chronological split at the middle DISTINCT HOUR — a few
+    // collected rows, where a row_number split needed a single-partition
+    // global sort of the whole table (the gate-harness hotspot at sf0.1)
+    val hours = ev.select(date_trunc("hour", col("ts")).as("h"))
+      .distinct().orderBy("h").collect().map(_.getTimestamp(0))
+    val boundary = hours(hours.length / 2)
     def writeBatch(name: String, df: DataFrame): Unit = {
       val stage = s"$base/stage-$name"
-      df.drop("rn").coalesce(1).write.mode("overwrite").parquet(stage)
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(src, s"$name.parquet"))
     }
-    writeBatch("b1", ranked.filter(col("rn") <= n / 2))
+    writeBatch("b1", ev.filter(col("ts") < lit(boundary)))
     val q = hourlyAppendToParquet(spark, src, out, ckp)
     try {
       q.processAllAvailable()
-      writeBatch("b2", ranked.filter(col("rn") > n / 2))
+      writeBatch("b2", ev.filter(col("ts") >= lit(boundary)))
       q.processAllAvailable()
     } finally q.stop()
     spark.read.schema("hour STRING, event_type STRING, n BIGINT, sum_value DOUBLE")
