@@ -24,6 +24,7 @@ object Sessions {
 
   def local(cpus: Int, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions) // vb_decode in SQL everywhere
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -9,6 +9,16 @@ import graft.model.Posting
 class VbDecodeSpec extends SparkFunSuite {
   import spark.implicits._
 
+  test("GraftExtensions injects vb_decode: SQL resolves with NO manual register call") {
+    // the shared test session is built withExtensions(new GraftExtensions) —
+    // this proves the spark.sql.extensions path end-to-end
+    val ps = Array.tabulate(5)(i => graft.model.Posting(i * 3L + 1, 1 + i, 10))
+    val blob = PostingCodec.encode(ps, (tf, dl) => tf.toDouble / dl, blockSize = 4)
+    val out = spark.sql(s"SELECT size(vb_decode(X'${blob.map("%02x".format(_)).mkString}'))")
+      .collect()(0).getInt(0)
+    assert(out == 5)
+  }
+
   test("vb_decode expression round-trips blobs in SQL and Column form") {
     VbDecode.register(spark)
     val ps = Array.tabulate(300)(i => Posting(i * 5L + 1, 1 + i % 9, 10 + i % 50))
