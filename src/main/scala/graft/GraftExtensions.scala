@@ -17,6 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vb_decode"),
       new ExpressionInfo(classOf[graft.functions.VbDecode].getName, "vb_decode"),
-      (exprs: Seq[Expression]) => graft.functions.VbDecode(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.VbDecode.builder(exprs)))
   }
 }

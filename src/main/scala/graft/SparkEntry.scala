@@ -227,10 +227,14 @@ object SparkEntry {
       graft.ops.IvfIndex.build(s, emb, idx.toString, 16)
       val qv = emb.filter(col("vec_id") === 0L)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
-      graft.ops.IvfIndex.query(s, idx.toString, cents, qv, 10, nprobe = 4)
+      // round BEFORE the top-k cut (like ann_cosine_top10): the oracle's
+      // ORDER BY binds to the rounded alias, so cutting on raw cos would
+      // pick different rows on a rank-10/11 tie that rounding collapses
+      graft.ops.IvfIndex.queryCandidates(s, idx.toString, cents, qv, nprobe = 4)
         .select(col("vec_id"), col("label"), col("centroid").cast("int").as("centroid"),
           round(col("cos"), 6).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
     }),
 
     // ---- text analysis ----

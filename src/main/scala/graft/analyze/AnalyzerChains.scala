@@ -137,7 +137,11 @@ final case class CjkDictAnalyzer(dict: Set[String]) extends Analyzer {
         l -= 1
       }
       if (matched > 0) { out += run.substring(i, i + matched); i += matched }
-      else { out += run.substring(i, i + 1); i += 1 } // OOV: single char
+      else { // OOV: one CODE POINT (a supplementary-plane ideograph, e.g.
+        // CJK Ext B, must not split into two lone-surrogate tokens)
+        val w = Character.charCount(run.codePointAt(i))
+        out += run.substring(i, i + w); i += w
+      }
     }
   }
 

@@ -51,8 +51,17 @@ object VbDecode {
   def vb_decode(c: Column): Column =
     org.apache.spark.sql.functions.call_function("vb_decode", c)
 
+  /** Shared SQL function builder (temp-function and extension registration):
+    * arity-checked so `vb_decode()` fails analysis with a real message and
+    * extra arguments are rejected instead of silently dropped. */
+  def builder(exprs: Seq[Expression]): VbDecode = {
+    require(exprs.length == 1,
+      s"vb_decode requires exactly 1 argument, got ${exprs.length}")
+    VbDecode(exprs.head)
+  }
+
   /** Register `vb_decode` for SQL use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vb_decode", exprs => VbDecode(exprs.head), "scala_udf")
+      "vb_decode", builder, "scala_udf")
 }

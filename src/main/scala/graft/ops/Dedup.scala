@@ -97,13 +97,21 @@ object Dedup {
     * heap is bounded by TargetRowsPerBlock rows regardless of corpus size. */
   private[graft] val TargetRowsPerBlock = 1L << 14
 
+  /** Pair-group ids are i*B+j in an Int, so B² must stay <= Int.MaxValue;
+    * beyond this (≈7.6e8 rows) blocks silently exceed TargetRowsPerBlock —
+    * and the exact all-pairs operators are far outside their documented
+    * ~1e8-row domain anyway (use the sub-quadratic members). */
+  private[graft] val MaxPairBlocks = 46340
+
   /** Blocks so that a block ≈ TargetRowsPerBlock rows: B = ceil(n/target),
-    * floored at DefaultPairBlocks. Shuffle volume is B×n (replication factor
-    * B) — the unavoidable O(n²/target) cost of EXACT all-pairs, spread over
-    * B² independent tasks; past ~10⁸ rows that is the signal to switch to
-    * the sub-quadratic members (minhashLsh / embedDupPairsAnn). */
+    * floored at DefaultPairBlocks, capped at MaxPairBlocks (id overflow).
+    * Shuffle volume is B×n (replication factor B) — the unavoidable
+    * O(n²/target) cost of EXACT all-pairs, spread over B² independent
+    * tasks; past ~10⁸ rows that is the signal to switch to the
+    * sub-quadratic members (minhashLsh / embedDupPairsAnn). */
   private[graft] def pairBlocksFor(rows: Long, floor: Int = DefaultPairBlocks): Int =
-    math.max(floor, math.ceil(rows.toDouble / TargetRowsPerBlock).toInt)
+    math.min(MaxPairBlocks,
+      math.max(floor, math.ceil(rows.toDouble / TargetRowsPerBlock).toInt))
 
   /** Exact token-set Jaccard near-dup pairs — the brute-force member of the
     * family, kept exact but made distributed:

@@ -73,9 +73,11 @@ object IvfIndex {
       (i, d)
     }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
 
-  /** Top-k by cosine among the nprobe nearest centroids' partitions only. */
-  def query(spark: SparkSession, dir: String, cents: Array[(Int, Array[Float])],
-            queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+  /** All candidates in the nprobe nearest centroids' partitions, with exact
+    * cosine — no ordering or cut, so callers control the tie-break contract
+    * (the gate rounds BEFORE ordering to match its oracle exactly). */
+  def queryCandidates(spark: SparkSession, dir: String, cents: Array[(Int, Array[Float])],
+                      queryVec: Array[Float], nprobe: Int): DataFrame = {
     val probes = nearestCentroids(queryVec, cents, nprobe)
     val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     val qLit = array(queryVec.map(v => lit(v.toDouble)): _*)
@@ -88,9 +90,14 @@ object IvfIndex {
         "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
       .withColumn("cos", col("dot") / (col("norm") * lit(qNorm)))
       .select(col("vec_id"), col("label"), col("centroid"), col("cos"))
+  }
+
+  /** Top-k by cosine among the nprobe nearest centroids' partitions only. */
+  def query(spark: SparkSession, dir: String, cents: Array[(Int, Array[Float])],
+            queryVec: Array[Float], k: Int, nprobe: Int): DataFrame =
+    queryCandidates(spark, dir, cents, queryVec, nprobe)
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
-  }
 
   /** Centroid histogram — gate-query surface (mirrors lshBuckets). */
   def ivfBuckets(spark: SparkSession, sfDir: String, k: Int): DataFrame = {

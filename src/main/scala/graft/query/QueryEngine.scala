@@ -86,10 +86,20 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   // reuses the analyzed+planned Dataset — Dataset construction and Catalyst
   // planning are ~40% of the interactive floor (measured 70-110 ms of
   // ~250 ms). Valid because the index is immutable per engine and plans are
-  // deterministic in (terms, k). Entry = one plan tree (KBs); the key space
-  // is the query vocabulary, same magnitude as statsCache.
+  // deterministic in (terms, k). Entry = one plan tree (KBs — the heavy
+  // norms LocalRelation is SHARED across plans via normsDsCache below, not
+  // re-encoded per entry). Bounded: cleared wholesale at the cap (plans
+  // rebuild in ~10 ms; an LRU would buy nothing at this entry cost).
+  private val PlanCacheMaxEntries = 1024
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(Seq[(String, String)], Int), DataFrame]()
+
+  // one encoded norms LocalRelation per queried FIELD SET (not per query):
+  // createDataset eagerly encodes the blobs into the plan's LocalRelation,
+  // so without this every planCache entry would hold its own copy of the
+  // norms sidecar (up to NormsCacheMaxBytes each — a driver-heap leak).
+  private val normsDsCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]()
 
   /** Serving fast path for the norms sidecar: when it is small (interactive-
     * scale index), collect it once per engine and inject the query fields'
@@ -131,14 +141,30 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   }
 
   /** Top-k (docId, score), exact BM25 over the AND intersection. */
-  def topK(q: SearchQuery): DataFrame =
-    planCache.computeIfAbsent((q.terms, q.k), _ => {
-      import spark.implicits._
-      candidates(q, q.k)
-        .toDF("docId", "score")
-        .orderBy(desc("score"), asc("docId"))
-        .limit(q.k)
-    })
+  def topK(q: SearchQuery): DataFrame = {
+    val key = (q.terms, q.k)
+    val hit = planCache.get(key)
+    if (hit != null) return hit
+    // build OUTSIDE the map: planning runs a termstats Spark job, and a
+    // computeIfAbsent mapping that long would serialize unrelated queries
+    // hashing to the same bin (CHM requires short mappings). A concurrent
+    // duplicate build is harmless — putIfAbsent keeps the first.
+    val df = topKUncached(q)
+    if (planCache.size >= PlanCacheMaxEntries) planCache.clear()
+    val prev = planCache.putIfAbsent(key, df)
+    if (prev != null) prev else df
+  }
+
+  /** The cache-miss path of [[topK]] — also the honest target for latency
+    * diagnostics (tools.LatProbe), which must measure construction and
+    * planning, not a map lookup. */
+  private[graft] def topKUncached(q: SearchQuery): DataFrame = {
+    import spark.implicits._
+    candidates(q, q.k)
+      .toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(q.k)
+  }
 
   /** Paged ranked hits — the reference's pagination (O4,
     * module/poseidon.go:134-143 slices [page*size, ...) of the ordered id
@@ -266,8 +292,9 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     val fields = q.terms.map(_._1).distinct
     val nrows = normsLocal match {
       case Some(byField) =>
-        spark.createDataset(fields.flatMap(f => byField.getOrElse(f, Seq.empty)))
-          .toDF("field", "term", "chunk", "blob")
+        normsDsCache.computeIfAbsent(fields, fs => // pure local encode, no job
+          spark.createDataset(fs.flatMap(f => byField.getOrElse(f, Seq.empty)))
+            .toDF("field", "term", "chunk", "blob"))
       case None =>
         norms
           .filter(col("field").isin(fields: _*))

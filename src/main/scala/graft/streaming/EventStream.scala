@@ -78,6 +78,9 @@ object EventStream {
     // global sort of the whole table (the gate-harness hotspot at sf0.1)
     val hours = ev.select(date_trunc("hour", col("ts")).as("h"))
       .distinct().orderBy("h").collect().map(_.getTimestamp(0))
+    if (hours.isEmpty) // schema-stable empty result for an empty events table
+      return spark.range(0).select(lit("").as("hour"), lit("").as("event_type"),
+        lit(0L).as("n"), lit(0.0).as("sum_value"))
     val boundary = hours(hours.length / 2)
     def writeBatch(name: String, df: DataFrame): Unit = {
       val stage = s"$base/stage-$name"

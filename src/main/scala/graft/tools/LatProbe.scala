@@ -24,7 +24,9 @@ object LatProbe {
     graft.Bench.QuerySet.foreach { case (name, q) =>
       val reps = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        val df = e.topK(q)
+        // topKUncached: bypass the plan cache, else build/plan measure a
+        // map lookup instead of the construction cost this probe exists for
+        val df = e.topKUncached(q)
         val t1 = System.nanoTime()
         df.queryExecution.executedPlan // force analysis + optimization + planning
         val t2 = System.nanoTime()

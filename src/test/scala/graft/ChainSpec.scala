@@ -91,6 +91,10 @@ class ChainSpec extends SparkFunSuite {
     // OOV chars emit singly; latin segments keep TextAnalyzer rules
     assert(a.tokens("用中文分词 spark ok") == Seq("用", "中文分词", "spark", "ok"))
     assert(a.tokens(null).isEmpty)
+    // OOV supplementary-plane ideograph (CJK Ext B, U+2000B) stays ONE
+    // token — not two lone surrogates
+    assert(a.tokens("𠀋") == Seq("𠀋"))
+    assert(a.tokens("中文𠀋") == Seq("中文", "𠀋"))
     // chain-stage form + index end-to-end: the dictionary word is queryable
     val chain = AnalyzerChains.parse("cjkdict:中文,分词")
     assert(chain.tokens("中文分词") == Seq("中文", "分词"))

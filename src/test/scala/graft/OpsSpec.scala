@@ -100,6 +100,9 @@ class OpsSpec extends SparkFunSuite {
            sig(Similarity.embedDupPairs(spark, sf, 0.4, Some(8))))
     assert(Dedup.pairBlocksFor(0L) == Dedup.DefaultPairBlocks)
     assert(Dedup.pairBlocksFor(100L * Dedup.TargetRowsPerBlock) == 100)
+    // capped so pair-group id i*B+j can never overflow an Int
+    assert(Dedup.pairBlocksFor(Long.MaxValue) == Dedup.MaxPairBlocks)
+    assert(Dedup.MaxPairBlocks.toLong * Dedup.MaxPairBlocks <= Int.MaxValue)
   }
 
   test("token-less docs are outside the similarity domain (no J=1 pairs among them)") {

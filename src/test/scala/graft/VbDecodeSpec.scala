@@ -41,6 +41,13 @@ class VbDecodeSpec extends SparkFunSuite {
     // null safety
     val n = spark.sql("SELECT vb_decode(CAST(NULL AS BINARY))").collect()
     assert(n(0).isNullAt(0))
+
+    // arity: wrong argument counts fail analysis instead of crashing with
+    // NoSuchElementException (0 args) or silently dropping extras (2 args)
+    for (bad <- Seq("SELECT vb_decode()", "SELECT vb_decode(X'00', 42)")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      assert(e.getMessage.contains("exactly 1 argument"), s"for: $bad got: ${e.getMessage}")
+    }
   }
 
   test("vb_decode powers index introspection over real postings") {
