@@ -201,12 +201,30 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "px_chain_cjk" -> ((s, dir) => {
+      // dictionary FMM segmenter (the IK slot) on the gate: a deterministic
+      // CJK suffix (by doc_id % 3, three fixed phrases) rides each doc's
+      // text through the cjkdict chain; the oracle reproduces latin tokens
+      // by regex and the three phrases' known FMM segmentations literally
+      val chain = graft.analyze.AnalyzerChains.parse("cjkdict:中文,分词,搜索,引擎,数据,处理")
+      val f = udf((t: String) => chain.tokens(t))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(col("text"), lit(" "),
+          element_at(array(lit("中文分词"), lit("搜索引擎"), lit("数据处理")),
+            (col("doc_id") % 3).cast("int") + 1)).as("ctext"))
+        .select(col("doc_id"), posexplode(f(col("ctext"))))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- training-data pipeline: dedup family ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
     "dedup_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPairsPrefix(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 3, 0.8)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
@@ -330,6 +348,28 @@ object SparkEntry {
         |  FROM tl) z
         |ORDER BY doc_id, pos""".stripMargin,
 
+    // FMM segmentation of the three fixed suffix phrases is unambiguous
+    // under this dictionary, so the oracle states it literally; latin
+    // tokens are the analyzer-parity regex like the other chain oracles
+    "px_chain_cjk" ->
+      """WITH lat AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                             t -> length(t) BETWEEN 2 AND 40) AS lt
+        |  FROM documents),
+        |cjk AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN ['中文', '分词']
+        |    WHEN 1 THEN ['搜索', '引擎']
+        |    ELSE ['数据', '处理'] END AS ct
+        |  FROM documents),
+        |alltok AS (
+        |  SELECT l.doc_id, list_concat(l.lt, c.ct) AS toks
+        |  FROM lat l JOIN cjk c ON l.doc_id = c.doc_id)
+        |SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) - 1 AS pos,
+        |       unnest(toks) AS token
+        |FROM alltok
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -414,6 +454,24 @@ object SparkEntry {
         |FROM ts a JOIN ts b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) >= 0.95
+        |ORDER BY a, b""".stripMargin,
+    // 3-gram shingle Jaccard: l keeps token ORDER (no distinct before the
+    // shingle window); DuckDB l[i:i+2] = Spark slice(l, i, 3)
+    "dedup_ngram" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                             t -> length(t) BETWEEN 2 AND 40) AS l
+        |  FROM documents),
+        |ts AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [array_to_string(l[i:i+2], ' ') FOR i IN generate_series(1, len(l) - 2)])) AS ts
+        |  FROM base WHERE len(l) >= 3)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE), 6) AS j
+        |FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) >= 0.8
         |ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH tok AS (

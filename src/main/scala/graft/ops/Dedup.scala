@@ -45,21 +45,33 @@ object Dedup {
     documents.select(col("doc_id"),
       array_sort(array_distinct(toks(col("text")))).as("ts"))
 
-  /** Distinct-set groups: one row per distinct token set, members = sorted
+  /** Word n-gram (shingle) array from an ORDERED token array: position i
+    * yields tokens [i, i+n) joined by a space — the unit of n-gram Jaccard,
+    * which keeps local word ORDER that bag-of-tokens Jaccard discards. */
+  def shingles(tokArr: Column, n: Int): Column =
+    when(size(tokArr) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tokArr) - (n - 1)),
+        i => array_join(slice(tokArr, i, lit(n)), " ")))
+
+  /** Distinct-set groups: one row per distinct set, members = sorted
     * doc_ids sharing it, sid = min member (stable set key). At 100 TB this
     * grouping is ALSO the exact-set dedup: J=1 groups collapse before any
     * pair work. (A group whose member list is itself huge means quadratic
     * OUTPUT — real pipelines emit a group representative instead; these
-    * operators keep the full pair expansion because the oracle demands it.) */
-  private def setGroups(documents: DataFrame): DataFrame =
-    tokenSets(documents)
-      // token-less docs are OUT of the similarity domain (J = 0/0 undefined;
+    * operators keep the full pair expansion because the oracle demands it.)
+    * Input: (doc_id, ts) rows from tokenSets/shingleSets. */
+  private def setGroupsOf(sets: DataFrame): DataFrame =
+    sets
+      // set-less docs are OUT of the similarity domain (J = 0/0 undefined;
       // the oracle's tok CTE never produces them) — without this filter all
       // empty-set docs would collapse into one group and pair up at J=1.0
       .filter(size(col("ts")) > 0)
       .groupBy("ts")
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .withColumn("sid", element_at(col("members"), 1))
+
+  private def setGroups(documents: DataFrame): DataFrame =
+    setGroupsOf(tokenSets(documents))
 
   /** All within-group doc pairs (identical sets, J exactly 1.0). */
   private def sameSetPairs(groups: DataFrame): DataFrame = {
@@ -130,12 +142,81 @@ object Dedup {
                    blocks: Option[Int] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    exactPairsOfSets[Array[String]](tokenSets(documents), threshold, blocks, jaccardOf)
+  }
+
+  /** Word-n-gram (shingle) Jaccard near-dup pairs — the ORDER-AWARE member
+    * of the dedup family: two docs using the same vocabulary in a different
+    * sequence score low where bag-of-tokens Jaccard scores 1.0. Same
+    * distributed shape as jaccardPairs (distinct-set collapse +
+    * cartesian-of-blocks) — but shingles are FINGERPRINTED to 64-bit
+    * (xxhash64) before the kernel: J over fingerprint sets equals J over
+    * shingle sets absent a 64-bit collision (expected colliding shingle
+    * pairs ≈ S²/2⁶⁵ for S distinct shingles corpus-wide — ~10⁻⁸ at 10⁶,
+    * and a collision only shifts a J if both colliding shingles meet in one
+    * compared pair), and the merge-intersection runs on primitive longs
+    * instead of ~20-char strings (measured 19.2 s → ~4 s at sf0.1). */
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
+                        blocks: Option[Int] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sets = documents.select(col("doc_id"),
+      shingleHashes(n)(toks(col("text"))).as("ts"))
+    exactPairsOfSets[Array[Long]](sets, threshold, blocks, jaccardOfLongs)
+  }
+
+  /** Sorted distinct 64-bit shingle fingerprints as a COMPILED UDF. Value-
+    * identical to the declarative
+    * `array_sort(array_distinct(transform(shingles(toks, n), xxhash64)))`
+    * (OpsSpec asserts the parity; XXH64.hashUTF8String with seed 42 IS the
+    * xxhash64 column function) — but Spark evaluates higher-order-function
+    * lambdas INTERPRETED, which made shingle construction dominate the whole
+    * operator (12.6 s of 19 s at sf0.1); the compiled loop is ~milliseconds. */
+  private[graft] def shingleHashes(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { toksOrNull: Seq[String] =>
+      val toks = if (toksOrNull == null) Seq.empty[String] else toksOrNull
+      val set = new java.util.TreeSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        set.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 42L))
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+
+  /** Jaccard of two SORTED long arrays (fingerprinted shingles) — same
+    * merge-intersection as jaccardOf, on primitives. */
+  def jaccardOfLongs(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
+  private def exactPairsOfSets[S](setsDf: DataFrame, threshold: Double,
+                                  blocks: Option[Int], jac: (S, S) => Double)(
+      implicit tagEnc: org.apache.spark.sql.Encoder[(Int, Int, S, Array[Long])],
+      setEnc: org.apache.spark.sql.Encoder[(S, Array[Long])]): DataFrame = {
+    val spark = setsDf.sparkSession
+    import spark.implicits._
     // B from input size (results are B-invariant — OpsSpec asserts it): one
     // cheap columnless count; at 100 TB this is parquet-footer arithmetic
-    val B = blocks.getOrElse(pairBlocksFor(documents.count()))
-    val groups = setGroups(documents)
-    val sets: Dataset[(Array[String], Array[Long])] =
-      groups.select(col("ts"), col("members")).as[(Array[String], Array[Long])]
+    val B = blocks.getOrElse(pairBlocksFor(setsDf.count()))
+    val groups = setGroupsOf(setsDf)
+    val sets: Dataset[(S, Array[Long])] =
+      groups.select(col("ts"), col("members")).as[(S, Array[Long])]
 
     val tagged = sets.flatMap { case (ts, members) =>
       val blk = (members(0) % B).toInt
@@ -150,10 +231,10 @@ object Dedup {
       // rows arrive sorted by block id: an off-diagonal pair-group BUFFERS
       // only block i (≈ TargetRowsPerBlock rows — the per-task memory bound)
       // and STREAMS block j against it; a diagonal group holds its one block
-      .flatMapSortedGroups($"_2") { (pid: Int, it: Iterator[(Int, Int, Array[String], Array[Long])]) =>
+      .flatMapSortedGroups($"_2") { (pid: Int, it: Iterator[(Int, Int, S, Array[Long])]) =>
         val i = pid / B
-        def pairsOf(x: (Array[String], Array[Long]), y: (Array[String], Array[Long])): Iterator[(Long, Long, Double)] = {
-          val jv = jaccardOf(x._1, y._1)
+        def pairsOf(x: (S, Array[Long]), y: (S, Array[Long])): Iterator[(Long, Long, Double)] = {
+          val jv = jac(x._1, y._1)
           if (jv < thr) Iterator.empty
           else for { da <- x._2.iterator; db <- y._2.iterator }
             yield (math.min(da, db), math.max(da, db), jv)
@@ -164,7 +245,7 @@ object Dedup {
             (p + 1 until xs.length).iterator.flatMap(q => pairsOf(xs(p), xs(q)))
           }
         } else {
-          val buf = scala.collection.mutable.ArrayBuffer[(Array[String], Array[Long])]()
+          val buf = scala.collection.mutable.ArrayBuffer[(S, Array[Long])]()
           val bi = it.buffered
           while (bi.hasNext && bi.head._2 == i) { val r = bi.next(); buf += ((r._3, r._4)) }
           bi.flatMap { case (_, _, ts, m) => buf.iterator.flatMap(x => pairsOf(x, (ts, m))) }

@@ -6,9 +6,9 @@ object ScalingOnly {
   def main(args: Array[String]): Unit = {
     val turns = args.headOption.map(_.toLong).getOrElse(600000L)
     val low = args.lift(1).map(_.toInt).getOrElse(1)
-    val (l, h, eff) = ScalingFork.measure(turns, low, 4 * low, lowReps = 3, highReps = 3)
-    println(f"[scaling] turns=$turns low=${low}c median=${l.median}%.1fs reps=${l.reps.map(t => f"$t%.1f").mkString("/")} cpus=${l.cpusAllowed} " +
-      f"high=${4 * low}c median=${h.median}%.1fs reps=${h.reps.map(t => f"$t%.1f").mkString("/")} cpus=${h.cpusAllowed} " +
+    val (l, h, eff) = ScalingFork.measure(turns, low, 4 * low, lowReps = 3, highReps = 5)
+    println(f"[scaling] turns=$turns low=${low}c min=${l.best}%.1fs med=${l.median}%.1fs reps=${l.reps.map(t => f"$t%.1f").mkString("/")} cpus=${l.cpusAllowed} " +
+      f"high=${4 * low}c min=${h.best}%.1fs med=${h.median}%.1fs reps=${h.reps.map(t => f"$t%.1f").mkString("/")} cpus=${h.cpusAllowed} " +
       f"bound=${l.bound && h.bound} efficiency=$eff%.3f")
   }
 }

@@ -105,6 +105,36 @@ class OpsSpec extends SparkFunSuite {
     assert(Dedup.MaxPairBlocks.toLong * Dedup.MaxPairBlocks <= Int.MaxValue)
   }
 
+  test("shingleHashes UDF equals the declarative xxhash64 shingle column") {
+    val d = docs.limit(50)
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val compiled = d.select(col("doc_id"),
+      Dedup.shingleHashes(3)(Dedup.toks(col("text"))).as("ts"))
+    val declarative = d.select(col("doc_id"),
+      array_sort(array_distinct(transform(Dedup.shingles(Dedup.toks(col("text")), 3),
+        s => xxhash64(s)))).as("ts"))
+    assert(vals(compiled) == vals(declarative))
+  }
+
+  test("ngram Jaccard is order-aware where token Jaccard is not") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"), // same bag, reversed
+      (3L, "alpha beta gamma delta epsilon zeta")) // true duplicate of 1
+      .toDF("doc_id", "text")
+    // bag-of-tokens: all three pairs are J=1 (identical vocabularies)
+    assert(Dedup.jaccardPairs(d, 0.95).count() == 3)
+    // 3-gram shingles keep word order: only the true duplicate survives
+    val ng = Dedup.ngramJaccardPairs(d, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ng.toSeq == Seq((1L, 3L, 1.0)))
+    // B-invariance holds for the shingle member too
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(sig(Dedup.ngramJaccardPairs(docs, 3, 0.8, Some(2))) ==
+           sig(Dedup.ngramJaccardPairs(docs, 3, 0.8, Some(16))))
+  }
+
   test("token-less docs are outside the similarity domain (no J=1 pairs among them)") {
     // two docs with zero analyzer tokens + two true duplicates
     val d = Seq(
