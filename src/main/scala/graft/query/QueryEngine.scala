@@ -77,7 +77,10 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
 
   // driver-side term-dictionary cache: repeated queries skip the stats job
   // entirely (absent terms cached as None). The analog of the reference
-  // searcher's meta multiget being fronted by memcached (S10).
+  // searcher's meta multiget being fronted by memcached (S10). Bounded like
+  // planCache (entries are tiny, but a long-lived engine fed adversarial
+  // vocabulary should not grow without limit).
+  private val StatsCacheMaxEntries = 1 << 20
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Option[(Long, Long)]]()
 
@@ -135,6 +138,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
         .collect()
         .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
+      if (statsCache.size + missing.size > StatsCacheMaxEntries) statsCache.clear()
       missing.foreach(k => statsCache.put(k, found.get(k)))
     }
     q.terms.flatMap(k => statsCache.get(k).map(v => k -> v)).toMap

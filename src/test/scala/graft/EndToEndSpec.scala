@@ -51,6 +51,32 @@ class EndToEndSpec extends SparkFunSuite {
     }
   }
 
+  test("concurrent queries on a fresh engine match serial results (cache races)") {
+    // topK builds plans OUTSIDE the cache map and publishes with putIfAbsent;
+    // 8 threads hammering a COLD engine with the full query set must agree
+    // with the serial answers (duplicate concurrent builds are allowed,
+    // divergent results are not)
+    val serial = queries.map { case (name, q) =>
+      name -> engine.topK(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }.toMap
+    val coldEngine = new QueryEngine(spark, indexDir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).flatMap { i =>
+        queries.map { case (name, q) =>
+          name -> pool.submit(new java.util.concurrent.Callable[Seq[(Long, Double)]] {
+            def call(): Seq[(Long, Double)] =
+              coldEngine.topK(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          })
+        }
+      }
+      futures.foreach { case (name, f) =>
+        assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS) == serial(name),
+          s"$name diverged under concurrency")
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("norms paths agree: driver-cached LocalRelation == distributed semi-join") {
     // the serving fast path injects cached norms as a LocalRelation; the
     // 100 TB path semi-joins norms to chunks with postings. Same results

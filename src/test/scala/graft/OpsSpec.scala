@@ -117,6 +117,20 @@ class OpsSpec extends SparkFunSuite {
     assert(vals(compiled) == vals(declarative))
   }
 
+  test("jaccardOfLongs over fingerprints == jaccardOf over the strings") {
+    val rnd = new scala.util.Random(7)
+    def h(s: String) = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 42L)
+    }
+    (1 to 100).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(30))(s"tok${rnd.nextInt(40)}").distinct.sorted
+      val b = Array.fill(rnd.nextInt(30))(s"tok${rnd.nextInt(40)}").distinct.sorted
+      assert(Dedup.jaccardOfLongs(a.map(h).sorted, b.map(h).sorted) ==
+             Dedup.jaccardOf(a, b))
+    }
+  }
+
   test("ngram Jaccard is order-aware where token Jaccard is not") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
