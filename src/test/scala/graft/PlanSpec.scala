@@ -73,6 +73,7 @@ class PlanSpec extends SparkFunSuite {
     // the block kernels must keep these plans join-operator-free
     Seq(
       graft.ops.Dedup.jaccardPairs(sfDocs, 0.95),
+      graft.ops.Dedup.ngramJaccardPairs(sfDocs, 3, 0.8),
       graft.ops.Similarity.embedDupPairs(spark, "/root/testdata/sf0.001", 0.4)
     ).foreach { df =>
       df.collect()
