@@ -49,7 +49,9 @@ object Dedup {
     * yields tokens [i, i+n) joined by a space — the unit of n-gram Jaccard,
     * which keeps local word ORDER that bag-of-tokens Jaccard discards. */
   def shingles(tokArr: Column, n: Int): Column =
-    when(size(tokArr) < n, array().cast("array<string>"))
+    // null-safe like shingleHashes (the two are parity-tested): a null token
+    // array (null text) yields an EMPTY shingle array, not null
+    when(tokArr.isNull || size(tokArr) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(tokArr) - (n - 1)),
         i => array_join(slice(tokArr, i, lit(n)), " ")))
 
@@ -212,8 +214,11 @@ object Dedup {
     val spark = setsDf.sparkSession
     import spark.implicits._
     // B from input size (results are B-invariant — OpsSpec asserts it): one
-    // cheap columnless count; at 100 TB this is parquet-footer arithmetic
+    // cheap columnless count; at 100 TB this is parquet-footer arithmetic.
+    // Explicit blocks must honor the same Int-id bound pairBlocksFor enforces
     val B = blocks.getOrElse(pairBlocksFor(setsDf.count()))
+    require(B >= 1 && B <= MaxPairBlocks,
+      s"pair blocks must be in [1, $MaxPairBlocks] (pair-group id i*B+j is an Int), got $B")
     val groups = setGroupsOf(setsDf)
     val sets: Dataset[(S, Array[Long])] =
       groups.select(col("ts"), col("members")).as[(S, Array[Long])]

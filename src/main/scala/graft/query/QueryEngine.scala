@@ -101,6 +101,9 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   // createDataset eagerly encodes the blobs into the plan's LocalRelation,
   // so without this every planCache entry would hold its own copy of the
   // norms sidecar (up to NormsCacheMaxBytes each — a driver-heap leak).
+  // Keyed on the SORTED field list (query order must not mint new entries)
+  // and bounded like the sibling caches — entries are heavy.
+  private val NormsDsCacheMaxEntries = 64
   private val normsDsCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]()
 
@@ -128,20 +131,29 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   /** (df, pv) per query term; terms absent from the corpus are omitted. */
   def termStatsOf(q: SearchQuery): Map[(String, String), (Long, Long)] = {
     if (q.terms.isEmpty) return Map.empty
-    val missing = q.terms.filterNot(statsCache.containsKey)
-    if (missing.nonEmpty) {
-      val buckets = missing.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
-      val cond = missing.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
-      val found = termstats
-        .filter(col("bucket").isin(buckets: _*) && cond)
-        .select("field", "term", "df", "pv")
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-      if (statsCache.size + missing.size > StatsCacheMaxEntries) statsCache.clear()
-      missing.foreach(k => statsCache.put(k, found.get(k)))
-    }
-    q.terms.flatMap(k => statsCache.get(k).map(v => k -> v)).toMap
+    // snapshot cached values FIRST: the result below assembles from local
+    // data only, so a concurrent (or our own) cache clear between the put
+    // and a read-back can never null out a term mid-query
+    val cached = q.terms.flatMap(k => Option(statsCache.get(k)).map(k -> _)).toMap
+    val missing = q.terms.filterNot(cached.contains).distinct
+    val found: Map[(String, String), (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val buckets = missing.map { case (_, t) => IndexBuilder.bucketOf(t, manifest.buckets) }.distinct
+        val cond = missing.map { case (f, t) => col("field") === f && col("term") === t }.reduce(_ || _)
+        val f = termstats
+          .filter(col("bucket").isin(buckets: _*) && cond)
+          .select("field", "term", "df", "pv")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        if (statsCache.size + missing.size > StatsCacheMaxEntries) statsCache.clear()
+        missing.foreach(k => statsCache.put(k, f.get(k)))
+        f
+      }
+    val all: Map[(String, String), Option[(Long, Long)]] =
+      cached ++ missing.map(k => k -> found.get(k))
+    q.terms.flatMap(k => all(k).map(v => k -> v)).toMap
   }
 
   /** Top-k (docId, score), exact BM25 over the AND intersection. */
@@ -296,7 +308,8 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     val fields = q.terms.map(_._1).distinct
     val nrows = normsLocal match {
       case Some(byField) =>
-        normsDsCache.computeIfAbsent(fields, fs => // pure local encode, no job
+        if (normsDsCache.size >= NormsDsCacheMaxEntries) normsDsCache.clear()
+        normsDsCache.computeIfAbsent(fields.sorted, fs => // pure local encode, no job
           spark.createDataset(fs.flatMap(f => byField.getOrElse(f, Seq.empty)))
             .toDF("field", "term", "chunk", "blob"))
       case None =>

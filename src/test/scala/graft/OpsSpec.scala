@@ -103,10 +103,15 @@ class OpsSpec extends SparkFunSuite {
     // capped so pair-group id i*B+j can never overflow an Int
     assert(Dedup.pairBlocksFor(Long.MaxValue) == Dedup.MaxPairBlocks)
     assert(Dedup.MaxPairBlocks.toLong * Dedup.MaxPairBlocks <= Int.MaxValue)
+    // an explicit out-of-range B fails loudly instead of overflowing the id
+    intercept[IllegalArgumentException](
+      Dedup.jaccardPairs(docs, 0.95, Some(Dedup.MaxPairBlocks + 1)).collect())
   }
 
   test("shingleHashes UDF equals the declarative xxhash64 shingle column") {
-    val d = docs.limit(50)
+    // include a null-text doc: both forms must yield an EMPTY array, not null
+    val d = docs.limit(50).select(col("doc_id"), col("text"))
+      .unionAll(Seq((100000L, Option.empty[String])).toDF("doc_id", "text"))
     def vals(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     val compiled = d.select(col("doc_id"),
@@ -114,7 +119,9 @@ class OpsSpec extends SparkFunSuite {
     val declarative = d.select(col("doc_id"),
       array_sort(array_distinct(transform(Dedup.shingles(Dedup.toks(col("text")), 3),
         s => xxhash64(s)))).as("ts"))
-    assert(vals(compiled) == vals(declarative))
+    val got = vals(compiled)
+    assert(got == vals(declarative))
+    assert(got.last == (100000L, Seq.empty[Long])) // null text -> empty, both forms
   }
 
   test("jaccardOfLongs over fingerprints == jaccardOf over the strings") {
