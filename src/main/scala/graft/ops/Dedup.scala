@@ -334,15 +334,27 @@ object Dedup {
       .withColumn("len", size(col("dts")))
       .withColumn("plen",
         (col("len") + lit(1) - ceil(lit(threshold) * col("len") - lit(1e-9))).cast("int"))
-      .select(col("sid"), col("len"), explode(slice(col("dts"), lit(1), col("plen"))).as("dt"))
-      .select(col("sid"), col("len"), col("dt.term").as("term"))
+      .select(col("sid"), col("len"),
+        posexplode(slice(col("dts"), lit(1), col("plen"))).as(Seq("pos", "dt")))
+      .select(col("sid"), col("len"), col("pos"), col("dt.term").as("term"))
     // size filter (standard AllPairs companion): J >= t forces
     // t·|x| <= |y| (and symmetrically), since |intersection| <= min and
-    // union >= max — prunes size-mismatched candidates before the distinct
+    // union >= max — prunes size-mismatched candidates before the distinct.
+    // positional filter (PPJoin): J >= t also forces overlap
+    // o >= t/(1+t)·(|x|+|y|). For the pair's FIRST common token, matching
+    // at 0-based full-list positions (px, py), everything before px/py is
+    // non-common, so o <= 1 + min(|x|-px-1, |y|-py-1). Applying the bound
+    // per join match is exact: a qualifying pair always survives through
+    // its first-common-token row (where the bound >= o >= needed overlap);
+    // deeper matches may prune, which only removes duplicate candidates
+    val overlapNeeded = lit(threshold / (1 + threshold)) *
+      (col("x.len") + col("y.len")) - lit(1e-9)
     val cand = pref.as("x").join(pref.as("y"),
         col("x.term") === col("y.term") && col("x.sid") < col("y.sid") &&
         col("y.len") >= lit(threshold) * col("x.len") - lit(1e-9) &&
-        col("x.len") >= lit(threshold) * col("y.len") - lit(1e-9))
+        col("x.len") >= lit(threshold) * col("y.len") - lit(1e-9) &&
+        (lit(1) + least(col("x.len") - col("x.pos") - 1,
+                        col("y.len") - col("y.pos") - 1)) >= overlapNeeded)
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
       .distinct()
     verifyCandidatePairs(groups, cand, threshold)
