@@ -83,11 +83,16 @@ object EventStream {
         lit(0L).as("n"), lit(0.0).as("sum_value"))
     val boundary = hours(hours.length / 2)
     def writeBatch(name: String, df: DataFrame): Unit = {
+      // parallel write (no coalesce(1) single-task stage over the whole
+      // table), then move EVERY part into the source dir — the batch
+      // boundary only requires all of b1's files present before the stream
+      // starts, not that a batch be one file
       val stage = s"$base/stage-$name"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(src, s"$name.parquet"))
+      df.write.mode("overwrite").parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (part, i) =>
+          java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(src, s"$name-$i.parquet"))
+        }
     }
     writeBatch("b1", ev.filter(col("ts") < lit(boundary)))
     val q = hourlyAppendToParquet(spark, src, out, ckp)
