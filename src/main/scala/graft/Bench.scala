@@ -20,13 +20,8 @@ object Bench {
 
   private def session(cpus: Int): SparkSession = Sessions.local(cpus, s"graft-bench-$cpus")
 
-  private def rm(dir: String): Unit = {
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(del)
-      f.delete()
-    }
-    del(new java.io.File(dir))
-  }
+  private def rm(dir: String): Unit =
+    FsUtil.deleteRecursively(new java.io.File(dir))
 
   private def timeIt[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -103,16 +98,18 @@ object Bench {
     // ---- 2. index build + query latency at local[cpus] ----
     val idxDir = s"/tmp/graft-bench-idx-$cpus"
     val buildSec = buildOnce(spark, benchTurns, idxDir)
-    // size evidence: on-disk index bytes / total postings (sum of df over
-    // the term dictionary) — the 100 TB storage-footprint claim in the
+    // size evidence: INDEX bytes (postings + termstats + norms — the
+    // docstore is document storage, not index) / total postings (sum of df
+    // over the term dictionary) — the storage-footprint claim in the
     // record, not just in BASELINE.md prose
-    val indexBytes = {
-      def sz(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
-      sz(new java.io.File(idxDir))
+    val indexBytes = Seq("postings", "termstats", "norms")
+      .map(d => FsUtil.dirSize(new java.io.File(idxDir, d))).sum
+    val docstoreBytes = FsUtil.dirSize(new java.io.File(idxDir, "docstore"))
+    val totalPostings = {
+      val v = spark.read.parquet(s"$idxDir/termstats")
+        .agg(org.apache.spark.sql.functions.sum("df")).collect()(0)
+      if (v.isNullAt(0)) 0L else v.getLong(0) // empty termstats -> SQL NULL
     }
-    val totalPostings = spark.read.parquet(s"$idxDir/termstats")
-      .agg(org.apache.spark.sql.functions.sum("df")).collect()(0).getLong(0)
     spark.stop()
     // serving profile: AQE off — adaptive re-planning costs ~80 ms per
     // interactive query and buys nothing for 1-2-task top-k jobs (it stays
@@ -146,7 +143,7 @@ object Bench {
     sb.append(s"""{"metric":"total","value":${f"$gateTotal%.3f"},"unit":"sec"""")
     sb.append(s""","queries":${jm(gate)}""")
     sb.append(s""","sf":"$sfDir"""")
-    sb.append(s""","index_build":{"turns":$benchTurns,"sec":${f"$buildSec%.2f"},"turns_per_sec":${f"${benchTurns / buildSec}%.0f"},"index_bytes":$indexBytes,"postings":$totalPostings,"bytes_per_posting":${f"${indexBytes.toDouble / math.max(1L, totalPostings)}%.2f"}}""")
+    sb.append(s""","index_build":{"turns":$benchTurns,"sec":${f"$buildSec%.2f"},"turns_per_sec":${f"${benchTurns / buildSec}%.0f"},"index_bytes":$indexBytes,"docstore_bytes":$docstoreBytes,"postings":$totalPostings,"bytes_per_posting":${f"${indexBytes.toDouble / math.max(1L, totalPostings)}%.2f"}}""")
     sb.append(s""","query_latency":{"p50_ms":${f"${pct(0.5) * 1000}%.1f"},"p99_ms":${f"${pct(0.99) * 1000}%.1f"},"per_query_ms":${jm(perQ.map { case (k, v) => k -> v * 1000 })}}""")
     def ja(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     sb.append(s""","scaling":{"turns":$scaleTurns,"cpus_low":$lowCpus,"cpus_high":$highCpus,"sec_low":${f"$secLow%.2f"},"sec_high":${f"$secHigh%.2f"},"sec_low_median":${f"${legLow.median}%.2f"},"sec_high_median":${f"${legHigh.median}%.2f"},"reps_low":${ja(legLow.reps)},"reps_high":${ja(legHigh.reps)},"cpus_allowed_low":"${legLow.cpusAllowed}","cpus_allowed_high":"${legHigh.cpusAllowed}","bound":${legLow.bound && legHigh.bound},"aggregation":"min_per_leg_uncontended","thr_low":${f"$thrLow%.0f"},"thr_high":${f"$thrHigh%.0f"},"efficiency":${f"$eff%.3f"}}""")

@@ -118,11 +118,9 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   private val NormsCacheMaxBytes = // sys-prop override so specs cover BOTH paths
     sys.props.get("graft.norms.cache.max.bytes").map(_.toLong).getOrElse(64L << 20)
   private lazy val normsLocal: Option[Map[String, Seq[(String, String, Long, Array[Byte])]]] = {
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
     val normsDir = new java.io.File(dir, "norms")
     // non-local paths (hdfs:// etc.) fail exists() -> distributed path
-    if (!normsDir.exists() || sizeOf(normsDir) > NormsCacheMaxBytes) None
+    if (!normsDir.exists() || graft.FsUtil.dirSize(normsDir) > NormsCacheMaxBytes) None
     else Some(norms.select("field", "chunk", "blob").collect()
       .map(r => (r.getString(0), QueryKernel.NormsTerm, r.getLong(1), r.getAs[Array[Byte]](2)))
       .toSeq.groupBy(_._1))
@@ -308,10 +306,21 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     val fields = q.terms.map(_._1).distinct
     val nrows = normsLocal match {
       case Some(byField) =>
-        if (normsDsCache.size >= NormsDsCacheMaxEntries) normsDsCache.clear()
-        normsDsCache.computeIfAbsent(fields.sorted, fs => // pure local encode, no job
-          spark.createDataset(fs.flatMap(f => byField.getOrElse(f, Seq.empty)))
-            .toDF("field", "term", "chunk", "blob"))
+        val nkey = fields.sorted
+        val nhit = normsDsCache.get(nkey)
+        if (nhit != null) nhit
+        else {
+          // clear only when INSERTING at the cap (a hit must not wipe the
+          // cache), and clear planCache with it — cached plans pin evicted
+          // norms LocalRelations, so evicting one without the other frees
+          // nothing and can retain multiple generations of the same copy
+          if (normsDsCache.size >= NormsDsCacheMaxEntries) {
+            normsDsCache.clear(); planCache.clear()
+          }
+          normsDsCache.computeIfAbsent(nkey, fs => // pure local encode, no job
+            spark.createDataset(fs.flatMap(f => byField.getOrElse(f, Seq.empty)))
+              .toDF("field", "term", "chunk", "blob"))
+        }
       case None =>
         norms
           .filter(col("field").isin(fields: _*))

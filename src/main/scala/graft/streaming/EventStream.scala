@@ -84,9 +84,9 @@ object EventStream {
     val boundary = hours(hours.length / 2)
     def writeBatch(name: String, df: DataFrame): Unit = {
       // parallel write (no coalesce(1) single-task stage over the whole
-      // table), then move EVERY part into the source dir — the batch
-      // boundary only requires all of b1's files present before the stream
-      // starts, not that a batch be one file
+      // table), then move every part into the source dir. A batch is only
+      // ever landed while NO query is running (see below), so the
+      // non-atomic multi-file move cannot be half-read
       val stage = s"$base/stage-$name"
       df.write.mode("overwrite").parquet(stage)
       new java.io.File(stage).listFiles()
@@ -94,13 +94,19 @@ object EventStream {
           java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(src, s"$name-$i.parquet"))
         }
     }
+    // one query RUN per batch, resumed from the shared checkpoint: the
+    // stream is stopped while b2's files land (a live file source could
+    // list a partial multi-file batch, advance the watermark on the subset
+    // and drop the rest as late), and the gate additionally exercises
+    // checkpoint restart — watermark state carries across the resume
+    def runBatch(): Unit = {
+      val q = hourlyAppendToParquet(spark, src, out, ckp)
+      try q.processAllAvailable() finally q.stop()
+    }
     writeBatch("b1", ev.filter(col("ts") < lit(boundary)))
-    val q = hourlyAppendToParquet(spark, src, out, ckp)
-    try {
-      q.processAllAvailable()
-      writeBatch("b2", ev.filter(col("ts") >= lit(boundary)))
-      q.processAllAvailable()
-    } finally q.stop()
+    runBatch()
+    writeBatch("b2", ev.filter(col("ts") >= lit(boundary)))
+    runBatch()
     spark.read.schema("hour STRING, event_type STRING, n BIGINT, sum_value DOUBLE")
       .parquet(out).orderBy("hour", "event_type")
   }

@@ -16,10 +16,8 @@ import graft.gen.TranscriptGen
   * (median) happens in the parent (ScalingFork).
   */
 object ScalingLeg {
-  private def rm(dir: String): Unit = {
-    def del(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(del); f.delete() }
-    del(new java.io.File(dir))
-  }
+  private def rm(dir: String): Unit =
+    graft.FsUtil.deleteRecursively(new java.io.File(dir))
 
   def buildOnce(s: org.apache.spark.sql.SparkSession, n: Long, dir: String): Double = {
     rm(dir)
