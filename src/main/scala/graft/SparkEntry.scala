@@ -225,6 +225,8 @@ object SparkEntry {
       Dedup.jaccardPairsPrefix(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 3, 0.8)),
+    "dedup_ngram_lsh" -> ((s, dir) =>
+      Dedup.ngramMinhashLsh(s.read.parquet(s"$dir/documents.parquet"), 3, 0.8)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
@@ -473,6 +475,31 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) >= 0.8
         |ORDER BY a, b""".stripMargin,
+    // shingle→minhash→band (the classic order-aware LSH): same signature
+    // and band SQL as dedup_minhash_lsh, tok CTE = 3-gram shingles
+    "dedup_ngram_lsh" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |                             t -> length(t) BETWEEN 2 AND 40) AS l
+         |  FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(l[i:i+2], ' ') FOR i IN generate_series(1, len(l) - 2)]) AS term
+         |  FROM base WHERE len(l) >= 3),
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
+         |mh AS (SELECT doc_id, $minhashCols FROM hh GROUP BY 1),
+         |bands AS ($bandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1)
+         |SELECT cand.a, cand.b,
+         |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE), 6) AS j
+         |FROM cand JOIN ts ta ON cand.a = ta.doc_id JOIN ts tb ON cand.b = tb.doc_id
+         |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.8
+         |ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, tt.term

@@ -408,11 +408,46 @@ object Dedup {
     *      kernel pass; same-set pairs (identical signatures, trivially
     *      candidates) append with J = 1.
     */
-  def minhashLsh(documents: DataFrame, threshold: Double): DataFrame = {
-    val spark = documents.sparkSession
+  def minhashLsh(documents: DataFrame, threshold: Double): DataFrame =
+    minhashLshOfGroups(setGroups(documents), threshold)
+
+  /** Shingle-based MinHash-LSH — the classic shingle→minhash→band pipeline:
+    * the ORDER-AWARE near-dup family member that is also sub-quadratic
+    * (ngramJaccardPairs is exact but O(n²) by contract; token minhashLsh is
+    * sub-quadratic but order-blind). Signatures and verify both run over
+    * word-n-gram shingle STRINGS so the DuckDB oracle reproduces the
+    * candidate set and J values bit-identically. */
+  def ngramMinhashLsh(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sets = documents.select(col("doc_id"),
+      shingleStrings(n)(toks(col("text"))).as("ts"))
+    minhashLshOfGroups(setGroupsOf(sets), threshold)
+  }
+
+  /** Sorted distinct shingle strings as a compiled UDF (same loop as
+    * shingleHashes without the fingerprint step — the declarative
+    * higher-order-function form evaluates interpreted and dominates the
+    * operator; see shingleHashes). TreeSet order = String.compareTo, the
+    * same order jaccardOf's merge expects. */
+  private[graft] def shingleStrings(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { toksOrNull: Seq[String] =>
+      val toks = if (toksOrNull == null) Seq.empty[String] else toksOrNull
+      val set = new java.util.TreeSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+      set.toArray(new Array[String](set.size))
+    }
+
+  private def minhashLshOfGroups(groups: DataFrame, threshold: Double): DataFrame = {
+    val spark = groups.sparkSession
     import spark.implicits._
     val numBands = NumHashes / BandRows
-    val groups = setGroups(documents)
     val tok = groups.select(col("sid"), explode(col("ts")).as("term"))
       .withColumn("h", h32(col("term")))
     val hashes = (0 until NumHashes).map { j =>

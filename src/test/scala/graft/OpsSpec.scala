@@ -150,6 +150,20 @@ class OpsSpec extends SparkFunSuite {
     val ng = Dedup.ngramJaccardPairs(d, 3, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(ng.toSeq == Seq((1L, 3L, 1.0)))
+    // the sub-quadratic shingle-LSH member finds the identical-set pair
+    // (identical shingle sets -> identical signatures, trivially candidates)
+    // and is equally order-aware
+    val lsh = Dedup.ngramMinhashLsh(d, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.toSeq == Seq((1L, 3L, 1.0)))
+    // on the gate corpus: no false positives (every LSH pair is an exact
+    // pair) and high recall of the exact output
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSf = Dedup.ngramMinhashLsh(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshSf.subsetOf(exact))
+    assert(exact.isEmpty || lshSf.size.toDouble / exact.size >= 0.8)
     // B-invariance holds for the shingle member too
     def sig(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     assert(sig(Dedup.ngramJaccardPairs(docs, 3, 0.8, Some(2))) ==
