@@ -102,8 +102,12 @@ object Bench {
     // docstore is document storage, not index) / total postings (sum of df
     // over the term dictionary) — the storage-footprint claim in the
     // record, not just in BASELINE.md prose
-    val indexBytes = Seq("postings", "termstats", "norms")
-      .map(d => FsUtil.dirSize(new java.io.File(idxDir, d))).sum
+    val indexBytes = Seq("postings", "termstats", "norms").map { d =>
+      val f = new java.io.File(idxDir, d)
+      require(f.isDirectory, // fail loudly on layout drift, never report ~0
+        s"index layout drift: expected subdir '$d' under $idxDir")
+      FsUtil.dirSize(f)
+    }.sum
     val docstoreBytes = FsUtil.dirSize(new java.io.File(idxDir, "docstore"))
     val totalPostings = {
       val v = spark.read.parquet(s"$idxDir/termstats")

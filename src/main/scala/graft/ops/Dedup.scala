@@ -175,24 +175,34 @@ object Dedup {
     * lambdas INTERPRETED, which made shingle construction dominate the whole
     * operator (12.6 s of 19 s at sf0.1); the compiled loop is ~milliseconds. */
   private[graft] def shingleHashes(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { toksOrNull: Seq[String] =>
-      val toks = if (toksOrNull == null) Seq.empty[String] else toksOrNull
+    udf { toks: Seq[String] =>
       val set = new java.util.TreeSet[java.lang.Long]()
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i + n <= toks.length) {
-        sb.setLength(0)
-        var k = 0
-        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
-        val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      foreachShingle(toks, n) { s =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         set.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 42L))
-        i += 1
       }
       val out = new Array[Long](set.size)
       val it = set.iterator(); var j = 0
       while (it.hasNext) { out(j) = it.next(); j += 1 }
       out
     }
+
+  /** The one shingle-construction loop (null-safe sliding window, space
+    * join) shared by the fingerprint and string UDFs — shingle semantics
+    * must never diverge between the exact and LSH members. */
+  private def foreachShingle(toksOrNull: Seq[String], n: Int)(f: String => Unit): Unit = {
+    if (toksOrNull == null) return
+    val toks = toksOrNull
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+      f(sb.toString)
+      i += 1
+    }
+  }
 
   /** Jaccard of two SORTED long arrays (fingerprinted shingles) — same
     * merge-intersection as jaccardOf, on primitives. */
@@ -429,18 +439,9 @@ object Dedup {
     * operator; see shingleHashes). TreeSet order = String.compareTo, the
     * same order jaccardOf's merge expects. */
   private[graft] def shingleStrings(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { toksOrNull: Seq[String] =>
-      val toks = if (toksOrNull == null) Seq.empty[String] else toksOrNull
+    udf { toks: Seq[String] =>
       val set = new java.util.TreeSet[String]()
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i + n <= toks.length) {
-        sb.setLength(0)
-        var k = 0
-        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
-        set.add(sb.toString)
-        i += 1
-      }
+      foreachShingle(toks, n)(set.add(_))
       set.toArray(new Array[String](set.size))
     }
 

@@ -106,6 +106,10 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   private val NormsDsCacheMaxEntries = 64
   private val normsDsCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]()
+  // bumped on every norms-cache clear: an in-flight topK that built its plan
+  // against a since-evicted norms generation must not insert it into
+  // planCache (the plan would pin the stale copy alongside the rebuilt one)
+  private val normsGen = new java.util.concurrent.atomic.AtomicLong()
 
   /** Serving fast path for the norms sidecar: when it is small (interactive-
     * scale index), collect it once per engine and inject the query fields'
@@ -162,8 +166,12 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     // build OUTSIDE the map: planning runs a termstats Spark job, and a
     // computeIfAbsent mapping that long would serialize unrelated queries
     // hashing to the same bin (CHM requires short mappings). A concurrent
-    // duplicate build is harmless — putIfAbsent keeps the first.
+    // duplicate build is harmless — putIfAbsent keeps the first. The plan
+    // is only cached if no norms-cache clear happened while building (else
+    // it pins an evicted norms generation; see normsGen).
+    val gen = normsGen.get()
     val df = topKUncached(q)
+    if (normsGen.get() != gen) return df
     if (planCache.size >= PlanCacheMaxEntries) planCache.clear()
     val prev = planCache.putIfAbsent(key, df)
     if (prev != null) prev else df
@@ -315,7 +323,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
           // norms LocalRelations, so evicting one without the other frees
           // nothing and can retain multiple generations of the same copy
           if (normsDsCache.size >= NormsDsCacheMaxEntries) {
-            normsDsCache.clear(); planCache.clear()
+            normsDsCache.clear(); planCache.clear(); normsGen.incrementAndGet()
           }
           normsDsCache.computeIfAbsent(nkey, fs => // pure local encode, no job
             spark.createDataset(fs.flatMap(f => byField.getOrElse(f, Seq.empty)))
