@@ -40,6 +40,10 @@ class EndToEndSpec extends SparkFunSuite {
     "q09_role" -> SearchQuery.of(Seq("role" -> Seq("tool"), "text" -> Seq("fail")), 15),
     "q10_dup_terms" -> SearchQuery.of(Seq("text" -> Seq("error", "error", "retry")), 10))
 
+  test("driver flagship entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("rank identity: engine top-k docIds AND scores == oracle, exactly") {
     queries.foreach { case (name, q) =>
       val expected = Bm25Oracle.topK(oracle, q)
