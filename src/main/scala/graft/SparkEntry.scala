@@ -241,10 +241,11 @@ object SparkEntry {
       // IVF-flat end-to-end: build the partitionBy(centroid) index, probe
       // the query vector's 4 nearest inverted lists, exact-cosine re-rank
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val cents = graft.ops.IvfIndex.centroids(emb, 16)
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf-gate")
       idx.toFile.deleteOnExit()
-      graft.ops.IvfIndex.build(s, emb, idx.toString, 16)
+      // build returns the quantizer the lists were written with (iters = 0
+      // here: the oracle reproduces the unrefined lowest-vec_id centroids)
+      val cents = graft.ops.IvfIndex.build(s, emb, idx.toString, 16)
       val qv = emb.filter(col("vec_id") === 0L)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       // round BEFORE the top-k cut (like ann_cosine_top10): the oracle's

@@ -147,9 +147,15 @@ object Dedup {
     exactPairsOfSets[Array[String]](tokenSets(documents), threshold, blocks, jaccardOf)
   }
 
-  /** Word-n-gram (shingle) Jaccard near-dup pairs — the ORDER-AWARE member
-    * of the dedup family: two docs using the same vocabulary in a different
-    * sequence score low where bag-of-tokens Jaccard scores 1.0. Same
+  /** Word-n-gram (shingle) Jaccard near-dup pairs — exact up to 64-bit
+    * fingerprint collisions (J is computed over xxhash64 shingle
+    * fingerprints, not the shingle strings; collision odds quantified
+    * below — callers needing strict string-set exactness should verify the
+    * qualifying pairs with shingleStrings + jaccardOf).
+    *
+    * The ORDER-AWARE member of the dedup family: two docs using the same
+    * vocabulary in a different sequence score low where bag-of-tokens
+    * Jaccard scores 1.0. Same
     * distributed shape as jaccardPairs (distinct-set collapse +
     * cartesian-of-blocks) — but shingles are FINGERPRINTED to 64-bit
     * (xxhash64) before the kernel: J over fingerprint sets equals J over
@@ -279,12 +285,27 @@ object Dedup {
     * ONLY candidate members' token arrays ship; a cogroup scores J with the
     * merge-intersection kernel and expands qualifying set pairs to member
     * cross-products. Shuffle volume and per-task memory scale with
-    * candidates, not corpus. */
-  private def verifyCandidatePairs(groups: DataFrame, cand: DataFrame,
-                                   threshold: Double): DataFrame = {
+    * candidates, not corpus — including the routing fan-out: B is derived
+    * from the CANDIDATE count (the fixed B = 16 through round 3 capped
+    * verify at 136 pair-groups and made each task's bySid map hold
+    * ~candidates/136 sets; at 10⁸ candidates that is both a parallelism
+    * floor and a per-task memory ceiling).
+    *
+    * The candidate frame is consumed three times (count → routing-B, the
+    * (sid, pid) routing table, the scoring rows), so it is PERSISTED once up
+    * front: candidate rows are two longs — the cached footprint is tiny
+    * relative to the corpus — and caching also removes any correctness
+    * dependence on candidate generation being deterministic across repeated
+    * plan evaluations. `blocks` overrides B for the routing-invariance spec
+    * only. */
+  private[graft] def verifyCandidatePairs(groups: DataFrame, cand0: DataFrame,
+                                          threshold: Double,
+                                          blocks: Option[Int] = None): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
-    val B = DefaultPairBlocks
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val B = blocks.getOrElse(pairBlocksFor(cand.count()))
+    require(B >= 1 && B <= MaxPairBlocks, s"routing blocks out of range: $B")
     def pidOf(sa: Long, sb: Long): Int = {
       val i = (sa % B).toInt; val j = (sb % B).toInt
       math.min(i, j) * B + math.max(i, j)
@@ -298,12 +319,16 @@ object Dedup {
     val candTagged = cand.as[(Long, Long)].map { case (sa, sb) => (pidOf(sa, sb), sa, sb) }
     val thr = threshold
     setsTagged.groupByKey(_._1)
-      .cogroup(candTagged.groupByKey(_._1)) { (_, setsIt, candIt) =>
+      .cogroup(candTagged.groupByKey(_._1)) { (pid, setsIt, candIt) =>
         val bySid = scala.collection.mutable.HashMap[Long, (Array[String], Array[Long])]()
         setsIt.foreach { case (_, ts, m) => bySid(m(0)) = (ts, m) }
+        def setOf(sid: Long): (Array[String], Array[Long]) =
+          bySid.getOrElse(sid, throw new IllegalStateException(
+            s"verify routing invariant broken: set $sid absent from pair-group $pid " +
+              s"(B=$B) — candidate generation and routing disagree"))
         candIt.flatMap { case (_, sa, sb) =>
-          val (tsa, ma) = bySid(sa)
-          val (tsb, mb) = bySid(sb)
+          val (tsa, ma) = setOf(sa)
+          val (tsb, mb) = setOf(sb)
           val jv = jaccardOf(tsa, tsb)
           if (jv < thr) Iterator.empty
           else for { da <- ma.iterator; db <- mb.iterator }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-flat approximate-nearest-neighbor index — the coarse-quantizer scale
@@ -11,59 +11,157 @@ import org.apache.spark.sql.functions._
   * so candidate volume per query is ~n/sqrt(n)*nprobe — sub-linear scan
   * with a tunable recall knob, where sign-LSH selectivity is fixed by bits.
   *
-  * Centroids are DETERMINISTIC: the k lowest-vec_id vectors (a uniform
-  * sample under hash-assigned ids). Production IVF would refine them with
-  * Lloyd iterations; refinement only moves bucket boundaries — the
+  * Centroids are DETERMINISTIC: seeded as the k lowest-vec_id vectors (a
+  * uniform sample under hash-assigned ids), optionally refined with
+  * deterministic Lloyd iterations (`refine`, partitioning-independent
+  * vec_id-ordered means). Refinement only moves bucket boundaries — the
   * index/query contract (argmin-L2 assignment, nprobe probing, exact cosine
-  * re-rank) is identical, and the deterministic choice keeps every stage
-  * reproducible in the DuckDB oracle (FP-summation-order-free).
+  * re-rank) is identical, so the oracle-checked gates run unrefined while
+  * production builds opt into `lloydIters`.
   */
 object IvfIndex {
 
-  /** L2 distance^2 between an embedding column and a constant centroid,
-    * folded as a literal array (dim-ascending sum, 0.0 init — the exact FP
-    * shape the oracle reproduces). */
-  private def dist2(emb: Column, centroid: Array[Float]): Column = {
-    val cArr = array(centroid.map(v => lit(v.toDouble)): _*)
-    aggregate(
-      zip_with(emb, cArr, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v)
-  }
-
   /** The k lowest-vec_id vectors as centroids: (centroidId 0..k-1 in vec_id
-    * order, vector). */
+    * order, vector). A uniform sample under hash-assigned ids; `refine`
+    * below moves them toward the data's real cluster structure. */
   def centroids(emb: DataFrame, k: Int): Array[(Int, Array[Float])] =
     emb.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
 
-  /** df + `centroid` column = argmin-L2 over the centroids; ties break to
-    * the lower centroid id (first match wins in the coalesce). Distances
-    * materialize as k intermediate columns referenced by ATTRIBUTE — a
-    * naive when()-fold nests the running best twice per step and blows the
-    * expression tree up 2^k (Catalyst analysis hangs at k=16). */
+  /** df + `centroid` column = argmin-L2 over the centroids, computed by a
+    * COMPILED kernel over a BROADCAST k×dim centroid matrix — the shape that
+    * holds k in the thousands (a 10⁹-vector corpus wants k ≈ √n ≈ 30k;
+    * 30k × 768 floats ≈ 90 MB, broadcast-sized). The k-literal-column
+    * Catalyst fold used through round 3 was correct but capped near k ≈ 100:
+    * expression-tree analysis and constant-folding cost grow with k, and the
+    * plan itself carried k copies of the centroid literals.
+    *
+    * FP contract (unchanged — the DuckDB oracle reproduces it exactly):
+    * dist² = dim-ascending double sum of (x-c)², widened BEFORE subtraction;
+    * ties break to the lower centroid id (strict `<` while scanning cid
+    * ascending). The inner loop early-abandons once the partial sum reaches
+    * the current best — safe because the sum is non-decreasing and the
+    * abandoned centroid would lose the strict-< comparison anyway; the
+    * winning centroid's distance is always fully accumulated, so the
+    * result is bit-identical to the unabandoned fold. */
   def withCentroid(df: DataFrame, embCol: String,
                    cents: Array[(Int, Array[Float])]): DataFrame = {
     if (cents.isEmpty) return df.withColumn("centroid", lit(0))
-    val dNames = cents.map { case (i, _) => s"_ivf_d$i" }
-    val withD = df.select(col("*") +: cents.map { case (i, c) =>
-      dist2(col(embCol), c).as(s"_ivf_d$i")
-    }: _*)
-    val m = if (dNames.length == 1) col(dNames.head)
-            else least(dNames.map(col): _*)
-    val pick = coalesce(cents.map { case (i, _) =>
-      when(col(s"_ivf_d$i") === m, lit(i))
-    }: _*)
-    withD.withColumn("centroid", pick).drop(dNames: _*)
+    val sorted = cents.sortBy(_._1)
+    require(sorted.indices.forall(i => sorted(i)._1 == i),
+      "centroid ids must be 0..k-1 (dense): assignment emits the matrix row index")
+    val matrix = sorted.map(_._2)
+    val bc = df.sparkSession.sparkContext.broadcast(matrix)
+    val assign = udf { emb: Seq[Float] =>
+      val a = emb.toArray
+      val cs = bc.value
+      var bestId = 0
+      var best = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var d = 0.0
+        var j = 0
+        while (j < a.length && d < best) {
+          val t = a(j).toDouble - c(j).toDouble
+          d += t * t
+          j += 1
+        }
+        if (j == a.length && d < best) { best = d; bestId = ci }
+        ci += 1
+      }
+      bestId
+    }
+    df.withColumn("centroid", assign(col(embCol)))
   }
 
-  /** Build the inverted-file table at `dir` (partitionBy(centroid)). */
-  def build(spark: SparkSession, embeddings: DataFrame, dir: String, k: Int): Unit = {
-    val cents = centroids(embeddings, k)
-    withCentroid(embeddings, "embedding", cents)
-      .write.mode("overwrite").partitionBy("centroid").parquet(dir)
+  /** Deterministic Lloyd refinement: `iters` rounds of (assign → per-cluster
+    * mean). Cluster means accumulate in vec_id order inside a sorted-group
+    * stream (per-task state = ONE dim-length double array, so a cluster of
+    * any size streams), which makes the result independent of partitioning —
+    * reproducible like every other stage. Empty clusters keep their previous
+    * centroid. Refinement only moves bucket boundaries; the index/query
+    * contract (argmin-L2 assignment, nprobe probing, exact re-rank) is
+    * unchanged, which is why the oracle-checked gates run with iters = 0. */
+  def refine(emb: DataFrame, embCol: String, cents0: Array[(Int, Array[Float])],
+             iters: Int): Array[(Int, Array[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = cents0
+    var it = 0
+    while (it < iters) {
+      val assigned = withCentroid(
+          emb.select(col("vec_id"), col(embCol).as("e")), "e", cents)
+        .select(col("centroid"), col("vec_id"), col("e"))
+        .as[(Int, Long, Array[Float])]
+      val sums = assigned.groupByKey(_._1)
+        .flatMapSortedGroups(col("vec_id")) { (cid: Int, rows: Iterator[(Int, Long, Array[Float])]) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          rows.foreach { case (_, _, v) =>
+            if (acc == null) acc = new Array[Double](v.length)
+            var j = 0
+            while (j < v.length) { acc(j) += v(j); j += 1 }
+            n += 1
+          }
+          Iterator.single((cid, n, acc))
+        }
+        .collect() // k rows (one per non-empty cluster) — driver-sized
+      val means = sums.map { case (cid, n, acc) =>
+        cid -> acc.map(x => (x / n).toFloat)
+      }.toMap
+      cents = cents.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
+      it += 1
+    }
+    cents
   }
+
+  /** Mean within-cluster squared L2 distance — the quantity Lloyd descends;
+    * diagnostic for refine() (IvfSpec asserts it never increases). */
+  def meanSquaredError(emb: DataFrame, embCol: String,
+                       cents: Array[(Int, Array[Float])]): Double = {
+    val byId = cents.toMap
+    val rows = withCentroid(emb.select(col(embCol).as("e")), "e", cents)
+      .select(col("centroid"), col("e")).collect()
+    val total = rows.iterator.map { r =>
+      val c = byId(r.getInt(0)); val v = r.getSeq[Float](1)
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+      d
+    }.sum
+    total / math.max(1, rows.length)
+  }
+
+  /** Build the inverted-file table at `dir` (partitionBy(centroid)).
+    * `lloydIters` > 0 runs deterministic centroid refinement first and
+    * writes the refined centroids alongside the index (centroids.parquet)
+    * so query-side probing uses the SAME quantizer the lists were built
+    * with; iters = 0 (the gates' oracle-parity mode) keeps the raw
+    * lowest-vec_id sample and writes it too. */
+  def build(spark: SparkSession, embeddings: DataFrame, dir: String, k: Int,
+            lloydIters: Int = 0): Array[(Int, Array[Float])] = {
+    val cents = refine(embeddings, "embedding", centroids(embeddings, k), lloydIters)
+    withCentroid(embeddings, "embedding", cents)
+      // co-locate each inverted list before the partitioned write: without
+      // this every input task writes a file per centroid it touches (tasks×k
+      // small files — measured 175 s at n=200k, k=512); after the hash
+      // shuffle each task owns a few whole lists and writes k files total
+      .repartition(col("centroid"))
+      .write.mode("overwrite").partitionBy("centroid").parquet(dir)
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir-centroids")
+    cents
+  }
+
+  /** Reload the quantizer persisted by build() — query-side probing must use
+    * the centroids the lists were built with, not a recomputation. */
+  def loadCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$dir-centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
   /** Driver-side assignment of one vector (same fold order as assignCol). */
   def nearestCentroids(v: Array[Float], cents: Array[(Int, Array[Float])], nprobe: Int): Seq[Int] =

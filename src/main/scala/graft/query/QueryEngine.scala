@@ -110,6 +110,13 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   // against a since-evicted norms generation must not insert it into
   // planCache (the plan would pin the stale copy alongside the rebuilt one)
   private val normsGen = new java.util.concurrent.atomic.AtomicLong()
+  // guards the two short norms-generation critical sections (evict+bump in
+  // normsDs, gen-recheck+insert in topK) so an eviction cannot land BETWEEN
+  // a stale-gen check and the plan insert — without it a plan built against
+  // an evicted norms copy could still enter planCache and pin that copy
+  // (memory retention only, but why carry the race). Never held across a
+  // Spark job — both sections are local map ops.
+  private val cacheLock = new Object
 
   /** Serving fast path for the norms sidecar: when it is small (interactive-
     * scale index), collect it once per engine and inject the query fields'
@@ -171,10 +178,12 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     // it pins an evicted norms generation; see normsGen).
     val gen = normsGen.get()
     val df = topKUncached(q)
-    if (normsGen.get() != gen) return df
-    if (planCache.size >= PlanCacheMaxEntries) planCache.clear()
-    val prev = planCache.putIfAbsent(key, df)
-    if (prev != null) prev else df
+    cacheLock.synchronized {
+      if (normsGen.get() != gen) return df
+      if (planCache.size >= PlanCacheMaxEntries) planCache.clear()
+      val prev = planCache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
   }
 
   /** The cache-miss path of [[topK]] — also the honest target for latency
@@ -322,7 +331,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
           // cache), and clear planCache with it — cached plans pin evicted
           // norms LocalRelations, so evicting one without the other frees
           // nothing and can retain multiple generations of the same copy
-          if (normsDsCache.size >= NormsDsCacheMaxEntries) {
+          if (normsDsCache.size >= NormsDsCacheMaxEntries) cacheLock.synchronized {
             normsDsCache.clear(); planCache.clear(); normsGen.incrementAndGet()
           }
           normsDsCache.computeIfAbsent(nkey, fs => // pure local encode, no job

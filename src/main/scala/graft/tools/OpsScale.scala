@@ -37,6 +37,57 @@ object OpsScale {
     t("dedup_minhash_lsh")(Dedup.minhashLsh(docs, 0.95).count())
     t("dedup_ngram_lsh")(Dedup.ngramMinhashLsh(docs, 3, 0.8).count())
     t("dedup_jaccard_prefix")(Dedup.jaccardPairsPrefix(docs, 0.95).count())
+
+    // ---- IVF at scale: n vectors, k = 512 (≈ sqrt-n sizing), Lloyd x2 ----
+    // 16 planted gaussian-ish clusters + per-vector jitter; the broadcast
+    // kernel assigns n x k x dim distances, refine() runs two deterministic
+    // mean rounds, then 5 probes measure pruned-query latency + recall@10
+    // against the brute-force exact top-10 of the same vectors
+    val dim = 16
+    val vecs = spark.range(0, n, 1, 64)
+      .select(col("id").as("vec_id"), (col("id") % 16).as("cl"))
+      .select(col("vec_id"), array((0 until dim).map { d =>
+        ((pmod(hash(col("cl") * dim + d), lit(200)) - 100).cast("float") +
+          (pmod(hash(col("vec_id") * dim + d), lit(100)).cast("float") / 100f)).cast("float")
+      }: _*).as("embedding"), (col("vec_id") % 5).cast("int").as("label"))
+    val ivfDir = java.nio.file.Files.createTempDirectory("opsscale-ivf").toString
+    var cents: Array[(Int, Array[Float])] = null
+    t("ivf_build_k512") {
+      cents = graft.ops.IvfIndex.build(spark, vecs, ivfDir, 512, lloydIters = 2)
+      spark.read.parquet(ivfDir).count()
+    }
+    val probeIds = Seq(1L, 7L, 23L, 101L, 999L)
+    val probeVecs = vecs.filter(col("vec_id").isin(probeIds: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // timed section = the IVF probes ONLY; the brute-force reference ranking
+    // for recall is computed outside the timer (it is the thing IVF avoids)
+    val approxSets = scala.collection.mutable.Map[Long, Set[Long]]()
+    t("ivf_query_x5") {
+      probeIds.foreach { qid =>
+        approxSets(qid) = graft.ops.IvfIndex
+          .query(spark, ivfDir, cents, probeVecs(qid), 11, nprobe = 8)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      }
+      probeIds.size.toLong
+    }
+    val allVecs = vecs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val recallSum = probeIds.map { qid =>
+      val qv = probeVecs(qid)
+      val exact = allVecs.iterator.filter(_._1 != qid)
+        .map { case (id, v) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          while (j < v.length) {
+            dot += v(j).toDouble * qv(j).toDouble
+            na += v(j).toDouble * v(j); nb += qv(j).toDouble * qv(j); j += 1
+          }
+          (id, dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+        .toArray.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      (approxSets(qid) intersect exact).size / 10.0
+    }.sum
+    println(f"[opsscale] ivf_recall@10        mean=${recallSum / probeIds.size}%.2f (nprobe=8/512)")
     spark.stop()
   }
 }

@@ -108,6 +108,29 @@ class OpsSpec extends SparkFunSuite {
       Dedup.jaccardPairs(docs, 0.95, Some(Dedup.MaxPairBlocks + 1)).collect())
   }
 
+  test("verify routing-B is candidate-derived and result-invariant (B is a pure dial)") {
+    // routing-B now scales with the CANDIDATE count (not a fixed 16): assert
+    // the derivation and that the verify cogroup's output is identical at
+    // any routing block count — same invariance contract as the pair kernels
+    import graft.ops.Dedup.{pairBlocksFor, DefaultPairBlocks, TargetRowsPerBlock}
+    assert(pairBlocksFor(100L) == DefaultPairBlocks)
+    assert(pairBlocksFor(100L * TargetRowsPerBlock) == 100)
+    val sets = docs.select(col("doc_id"),
+      array_sort(array_distinct(Dedup.toks(col("text")))).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val groups = sets.groupBy("ts")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("sid", element_at(col("members"), 1))
+    // candidates: every adjacent sid pair (some true dups, many rejects)
+    val sids = groups.select("sid").collect().map(_.getLong(0)).sorted
+    val cand = sids.zip(sids.tail).map { case (a, b) => (a, b) }.toSeq.toDF("sa", "sb")
+    def sig(b: Option[Int]) = Dedup.verifyCandidatePairs(groups, cand, 0.95, b)
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    val base = sig(Some(2))
+    assert(base == sig(Some(16)))
+    assert(base == sig(None)) // derived B produces the same result
+  }
+
   test("shingleHashes UDF equals the declarative xxhash64 shingle column") {
     // include a null-text doc: both forms must yield an EMPTY array, not null
     val d = docs.limit(50).select(col("doc_id"), col("text"))
