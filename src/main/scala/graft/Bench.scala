@@ -86,18 +86,36 @@ object Bench {
     // separately in index_build below)
     try graft.ops.GateIndex.engine(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] gate index: ${e.getMessage}") }
-    val gate = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def gatePass() = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = timeIt {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
       }
       name -> sec
     }
+    // contamination defense (round-3 lesson: single-shot figures taken in a
+    // CPU-steal window misrepresented the code by ~7x; the scaling section
+    // survived because it takes min-of-N with per-rep evidence) — re-run the
+    // 5 heaviest queries and keep min-of-2, emitting both reps in the record
+    val pass1 = gatePass()
+    val heavy = pass1.sortBy(-_._2).take(5).map(_._1).toSet
+    val rep2 = SparkEntry.queries.toSeq.filter(t => heavy(t._1)).sortBy(_._1).map {
+      case (name, fn) =>
+        val (_, sec) = timeIt {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        }
+        name -> sec
+    }.toMap
+    val gate = pass1.map { case (name, s1) =>
+      name -> rep2.get(name).map(math.min(s1, _)).getOrElse(s1)
+    }
     val gateTotal = gate.map(_._2).sum
 
-    // ---- 2. index build + query latency at local[cpus] ----
+    // ---- 2. index build (min-of-3, per-rep evidence) at local[cpus] ----
     val idxDir = s"/tmp/graft-bench-idx-$cpus"
-    val buildSec = buildOnce(spark, benchTurns, idxDir)
+    val buildReps = (1 to 3).map(_ => buildOnce(spark, benchTurns, idxDir))
+    val buildSec = buildReps.min
     // size evidence: INDEX bytes (postings + termstats + norms — the
     // docstore is document storage, not index) / total postings (sum of df
     // over the term dictionary) — the storage-footprint claim in the
@@ -146,8 +164,11 @@ object Bench {
 
     sb.append(s"""{"metric":"total","value":${f"$gateTotal%.3f"},"unit":"sec"""")
     sb.append(s""","queries":${jm(gate)}""")
+    sb.append(s""","queries_rep2":${jm(rep2.toSeq.sortBy(_._1))}""")
+    sb.append(s""","queries_aggregation":"min_of_2_for_5_heaviest"""")
     sb.append(s""","sf":"$sfDir"""")
-    sb.append(s""","index_build":{"turns":$benchTurns,"sec":${f"$buildSec%.2f"},"turns_per_sec":${f"${benchTurns / buildSec}%.0f"},"index_bytes":$indexBytes,"docstore_bytes":$docstoreBytes,"postings":$totalPostings,"bytes_per_posting":${f"${indexBytes.toDouble / math.max(1L, totalPostings)}%.2f"}}""")
+    def jaS(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    sb.append(s""","index_build":{"turns":$benchTurns,"sec":${f"$buildSec%.2f"},"reps":${jaS(buildReps)},"aggregation":"min_of_3","turns_per_sec":${f"${benchTurns / buildSec}%.0f"},"index_bytes":$indexBytes,"docstore_bytes":$docstoreBytes,"postings":$totalPostings,"bytes_per_posting":${f"${indexBytes.toDouble / math.max(1L, totalPostings)}%.2f"}}""")
     sb.append(s""","query_latency":{"p50_ms":${f"${pct(0.5) * 1000}%.1f"},"p99_ms":${f"${pct(0.99) * 1000}%.1f"},"per_query_ms":${jm(perQ.map { case (k, v) => k -> v * 1000 })}}""")
     def ja(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     sb.append(s""","scaling":{"turns":$scaleTurns,"cpus_low":$lowCpus,"cpus_high":$highCpus,"sec_low":${f"$secLow%.2f"},"sec_high":${f"$secHigh%.2f"},"sec_low_median":${f"${legLow.median}%.2f"},"sec_high_median":${f"${legHigh.median}%.2f"},"reps_low":${ja(legLow.reps)},"reps_high":${ja(legHigh.reps)},"cpus_allowed_low":"${legLow.cpusAllowed}","cpus_allowed_high":"${legHigh.cpusAllowed}","bound":${legLow.bound && legHigh.bound},"aggregation":"min_per_leg_uncontended","thr_low":${f"$thrLow%.0f"},"thr_high":${f"$thrHigh%.0f"},"efficiency":${f"$eff%.3f"}}""")

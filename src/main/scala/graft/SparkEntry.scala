@@ -217,6 +217,24 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "px_chain_quality" -> ((s, dir) => {
+      // the reference's FULL P6 predicate (segmentNeedOutput) as a chain
+      // stage behind the dictionary segmenter: a deterministic CJK suffix
+      // adds two dictionary words plus one lone ideograph per doc; quality
+      // drops the lone char (Chinese len<2), short latin (len<4), short
+      // digit runs (len<5) — the oracle reproduces the surviving positions
+      val chain = graft.analyze.AnalyzerChains.parse(
+        "cjkdict:中文,分词,搜索,引擎,数据,处理|quality")
+      val f = udf((t: String) => chain.tokens(t))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(col("text"), lit(" "),
+          element_at(array(lit("中文分词 了"), lit("搜索引擎 和"), lit("数据处理 吗")),
+            (col("doc_id") % 3).cast("int") + 1)).as("qtext"))
+        .select(col("doc_id"), posexplode(f(col("qtext"))))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- training-data pipeline: dedup family ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_jaccard" -> ((s, dir) =>
@@ -264,7 +282,9 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextOps.langId(s.read.parquet(s"$dir/documents.parquet"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"))),
 
-    // ---- multimodal plumbing ----
+    // ---- multimodal: real PNG generation -> binary column -> real header
+    // decode (dims are a stated function of doc_id, so the oracle can
+    // assert the decoded values literally) ----
     "mm_meta" -> ((s, dir) => Multimodal.extractMeta(s, s.read.parquet(s"$dir/documents.parquet"))))
 
   // ======================= DuckDB oracles =======================
@@ -358,6 +378,32 @@ object SparkEntry {
       """WITH lat AS (
         |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
         |                             t -> length(t) BETWEEN 2 AND 40) AS lt
+        |  FROM documents),
+        |cjk AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN ['中文', '分词']
+        |    WHEN 1 THEN ['搜索', '引擎']
+        |    ELSE ['数据', '处理'] END AS ct
+        |  FROM documents),
+        |alltok AS (
+        |  SELECT l.doc_id, list_concat(l.lt, c.ct) AS toks
+        |  FROM lat l JOIN cjk c ON l.doc_id = c.doc_id)
+        |SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) - 1 AS pos,
+        |       unnest(toks) AS token
+        |FROM alltok
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // latin tokens pass the full P6 predicate in SQL (digit/hex/other
+    // branches; the Chinese branch never fires on [a-z0-9] tokens); the CJK
+    // suffix contributes its two dictionary words — the lone ideograph is
+    // dropped by quality (Chinese len < 2), stated literally
+    "px_chain_quality" ->
+      """WITH lat AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    t -> length(t) BETWEEN 2 AND 40 AND CASE
+        |           WHEN regexp_full_match(t, '[0-9]+') THEN length(t) >= 5
+        |           WHEN regexp_full_match(t, '0x[0-9a-f]+') THEN length(t) >= 6
+        |           ELSE length(t) BETWEEN 4 AND 128 END) AS lt
         |  FROM documents),
         |cjk AS (
         |  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
@@ -692,12 +738,13 @@ object SparkEntry {
         |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, CAST(count(*) AS BIGINT) AS n_shingles
         |FROM hh GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the Spark side encodes a REAL PNG per doc (ImageIO) and parses its
+    // IHDR back; width/height follow the generator's stated doc_id law, so
+    // the oracle holds the round-trip to account without re-encoding bytes
     "mm_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  sha256(text) AS sha,
-        |  CAST(320 + CAST(('0x' || substr(sha256(text), 1, 4)) AS INT) % 1600 AS INT) AS width,
-        |  CAST(240 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INT) % 840 AS INT) AS height,
-        |  CAST(1 + CAST(('0x' || substr(sha256(text), 9, 4)) AS INT) % 240 AS INT) AS frames
+      """SELECT doc_id, 'png' AS fmt,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(16 + doc_id % 23 AS INT) AS height,
+        |  CAST(1 AS INT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

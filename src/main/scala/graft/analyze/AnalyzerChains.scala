@@ -44,6 +44,11 @@ object AnalyzerChains {
     case "regexcheck" =>
       val keep = TokenFunctions.regexCheck(param)
       ts => ts.filter(keep)
+    case "quality" =>
+      // the reference's full P6 predicate (segmentNeedOutput) as a chain
+      // stage — Chinese len>=2, digits len>=5, 0x-hex len>=6, other len in
+      // [4,128] + GBK-readable (TokenFunctions.qualityKeep scaladoc)
+      _.filter(TokenFunctions.qualityKeep)
     case "blacklist" | "tokenfilter" =>
       // the reference's canonical field chain ends in tokenfilter
       // (TokenParser.java:50-51, dispatch :123-135) with drop-only
@@ -63,7 +68,7 @@ object AnalyzerChains {
     case other => throw new IllegalArgumentException(
       s"unknown tokenizer stage '$other' (registry: text keyword lowercase split url " +
         "path pathWithUrlencode ip urldecode urlencode base64decode base64decodeInflate " +
-        "regexcheck blacklist/tokenfilter cjk cjkdict)")
+        "regexcheck quality blacklist/tokenfilter cjk cjkdict)")
   }
 
   /** Parse a chain spec; fails fast on unknown stages. */
@@ -105,6 +110,66 @@ final case class ChainAnalyzer(chainSpec: String) extends Analyzer {
     val f = udf((s: String) => tokens(s))
     when(c.isNull, array().cast("array<string>")).otherwise(f(c))
   }
+}
+
+/** Broadcast-payload analyzers — the Spark analog of the reference shipping
+  * its production blacklist through DistributedCache
+  * (builder/index/.../CommonLogParser.java:301-350): chain-stage params are
+  * config-string-sized, while a production stopword list (10k+) or CJK
+  * dictionary (100k+) should ride to executors as ONE broadcast copy per
+  * executor, not a payload re-serialized into every task closure (and never
+  * re-parsed per task: the delegate rebuilds lazily once per JVM).
+  *
+  * These occupy the same Analyzer slot as the chain stages — IndexBuilder's
+  * field map and SearchQuery.of both take them unchanged — with `spec`
+  * carrying a content fingerprint so an index built against a changed
+  * payload rebuilds instead of resuming (same contract as ChainAnalyzer's
+  * spec string).
+  */
+object BroadcastAnalyzers {
+
+  /** Stable 64-bit content fingerprint of the payload for build identity. */
+  private def fingerprint(terms: Iterable[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    terms.toSeq.sorted.foreach { t => md.update(t.getBytes("UTF-8")); md.update(0.toByte) }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  private final class BcastBlacklist(inner: Analyzer,
+                                     bl: org.apache.spark.broadcast.Broadcast[Set[String]],
+                                     n: Int, fp: String) extends Analyzer {
+    override def tokens(text: String): Seq[String] =
+      inner.tokens(text).filterNot(bl.value.contains)
+    override def tokensCol(c: Column): Column = {
+      val f = udf((s: String) => tokens(s))
+      when(c.isNull, array().cast("array<string>")).otherwise(f(c))
+    }
+    override def spec: String = s"${inner.spec}|bcast-blacklist:$n:$fp"
+  }
+
+  private final class BcastCjkDict(bd: org.apache.spark.broadcast.Broadcast[Set[String]],
+                                   n: Int, fp: String) extends Analyzer {
+    @transient private lazy val delegate = CjkDictAnalyzer(bd.value)
+    override def tokens(text: String): Seq[String] = delegate.tokens(text)
+    override def tokensCol(c: Column): Column = {
+      val f = udf((s: String) => tokens(s))
+      when(c.isNull, array().cast("array<string>")).otherwise(f(c))
+    }
+    override def spec: String = s"bcast-cjkdict:$n:$fp"
+  }
+
+  /** `inner`'s tokens minus the broadcast blacklist (drop-only tokenfilter
+    * semantics, FilterFunction.java:11-31 precision = 0). */
+  def blacklist(spark: org.apache.spark.sql.SparkSession, inner: Analyzer,
+                terms: Set[String]): Analyzer =
+    new BcastBlacklist(inner, spark.sparkContext.broadcast(terms),
+      terms.size, fingerprint(terms))
+
+  /** CjkDictAnalyzer's forward-maximum-matching over a broadcast dictionary
+    * (the IK slot at production dictionary sizes). */
+  def cjkDict(spark: org.apache.spark.sql.SparkSession, dict: Set[String]): Analyzer =
+    new BcastCjkDict(spark.sparkContext.broadcast(dict),
+      dict.size, fingerprint(dict))
 }
 
 /** Dictionary-driven CJK segmenter — the reference's IK-analyzer slot

@@ -19,6 +19,53 @@ object TokenFunctions {
   def split(sep: String)(s: String): Seq[String] =
     if (s == null) Seq.empty else s.split(sep).toSeq.filter(_.nonEmpty)
 
+  /** Full P6 token-quality predicate — row-by-row port of the reference's
+    * segmentNeedOutput (plugin/Function/TextFunction.java:40-61) with
+    * Util.java's character classes (:57-126), check order preserved:
+    *  - empty → drop;
+    *  - "Chinese" — Util.IsChinese is an ASCII round-trip test, i.e. ANY
+    *    non-ASCII char, not a CJK range check — keep iff len ≥ 2;
+    *  - all-digit (Character.isDigit) → keep iff len ≥ 5;
+    *  - 0x-prefixed hex (`^0x[a-fA-F0-9]+` fully matched) → keep iff len ≥ 6;
+    *  - otherwise → keep iff 4 ≤ len ≤ 128 AND GBK-encodable
+    *    (Util.IsUnReadable: '?'→' ', encode GBK, any 0x3f byte → drop;
+    *    unreachable for the pure-ASCII tokens this branch implies, kept for
+    *    fidelity — an unsupported-charset JVM drops, like the reference's
+    *    catch).
+    * Lengths are UTF-16 code units, as in the reference (a supplementary-
+    * plane ideograph counts 2). */
+  def qualityKeep(t: String): Boolean = {
+    if (t == null || t.isEmpty) return false
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) >= 0x80) return t.length >= 2 // the "Chinese" branch
+      i += 1
+    }
+    var allDigit = true
+    i = 0
+    while (allDigit && i < t.length) { allDigit = Character.isDigit(t.charAt(i)); i += 1 }
+    if (allDigit) return t.length >= 5
+    if (isHex0x(t)) return t.length >= 6
+    if (t.length < 4 || t.length > 128) return false
+    !isUnReadableGbk(t)
+  }
+
+  private def isHex0x(t: String): Boolean = {
+    if (t.length <= 2 || t.charAt(0) != '0' || t.charAt(1) != 'x') return false
+    var i = 2
+    while (i < t.length) {
+      val c = t.charAt(i)
+      val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      if (!hex) return false
+      i += 1
+    }
+    true
+  }
+
+  private def isUnReadableGbk(t: String): Boolean =
+    try t.replace('?', ' ').getBytes("GBK").exists(_ == 0x3f)
+    catch { case _: Exception => true }
+
   /** Public-suffix labels the reference skips as the FIRST registrable-domain
     * combo (Util.java:30-40: com edu gov net org cn hk). */
   val PublicSuffixes: Set[String] = Set("com", "edu", "gov", "net", "org", "cn", "hk")

@@ -107,6 +107,40 @@ class ChainSpec extends SparkFunSuite {
       .collect().length == 1)
   }
 
+  test("broadcast-backed analyzers carry 10k+ payloads end-to-end (DistributedCache slot)") {
+    import graft.analyze.BroadcastAnalyzers
+    // 10k-entry stopword blacklist: the generated filler vocabulary w00000..
+    // w09999 — the index must contain NONE of it, only the real words
+    val stopwords = (0 until 10000).map(i => f"w$i%05d").toSet
+    val bl = BroadcastAnalyzers.blacklist(spark, TextAnalyzer, stopwords)
+    assert(bl.tokens("w00001 error w09999 timeout") == Seq("error", "timeout"))
+    assert(bl.spec.startsWith("TextAnalyzer|bcast-blacklist:10000:"))
+    val turns = Seq(
+      ("c-0", 0, "w00001 error w00002 w00003 timeout"),
+      ("c-0", 1, "w04567 warning w09999")).toDF("conv_id", "turn_idx", "text")
+    val analyzers: Map[String, Analyzer] = Map("text" -> bl)
+    val dir = SparkSpec.tmpDir("graft-bcast-bl")
+    IndexBuilder.build(spark, turns, dir, IndexConfig(buckets = 4, chunkDocs = 16), analyzers)
+    val eng = new QueryEngine(spark, dir)
+    assert(eng.topK(SearchQuery.of(Seq("text" -> Seq("error")), 10, analyzers))
+      .collect().length == 1)
+    assert(eng.topK(SearchQuery.of(Seq("text" -> Seq("w00001")), 10, analyzers))
+      .collect().isEmpty, "blacklisted filler term must not be indexed")
+    // terms table holds only the 3 surviving words
+    val terms = spark.read.parquet(s"$dir/termstats")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(terms == Set("error", "timeout", "warning"), s"got $terms")
+
+    // 10k-entry broadcast CJK dictionary: FMM picks the longest entry; spec
+    // fingerprint changes with content (build-identity contract)
+    val bigDict = (0 until 10000).map(i => f"词$i%04d").toSet + "中文" + "分词" + "中文分词"
+    val cd = BroadcastAnalyzers.cjkDict(spark, bigDict)
+    assert(cd.tokens("中文分词引擎") == Seq("中文分词", "引", "擎"))
+    val cd2 = BroadcastAnalyzers.cjkDict(spark, bigDict - "中文分词")
+    assert(cd2.tokens("中文分词引擎") == Seq("中文", "分词", "引", "擎"))
+    assert(cd.spec != cd2.spec)
+  }
+
   test("END-TO-END: custom url field via chain analyzer, no library edits") {
     val analyzers: Map[String, Analyzer] = Map(
       "text" -> TextAnalyzer,

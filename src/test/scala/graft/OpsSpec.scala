@@ -77,15 +77,15 @@ class OpsSpec extends SparkFunSuite {
     assert(l1.toSeq == l2.toSeq)
   }
 
-  test("multimodal: stub decode is deterministic, schema typed, batched per partition") {
+  test("multimodal: real decode is deterministic and batched per partition") {
     val m1 = Multimodal.extractMeta(spark, docs).collect()
     val m2 = Multimodal.extractMeta(spark, docs.repartition(7)).collect()
       .sortBy(_.getLong(0))
     assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq) // partitioning-invariant
     m1.foreach { r =>
-      assert(r.getString(2).length == 64) // sha256 hex
-      val (w, h, fr) = (r.getInt(3), r.getInt(4), r.getInt(5))
-      assert(w >= 320 && w < 1920 + 320 && h >= 240 && fr >= 1)
+      assert(r.getString(1) == "png")
+      assert(r.getInt(2) == Multimodal.gateWidth(r.getLong(0)))
+      assert(r.getInt(3) == Multimodal.gateHeight(r.getLong(0)))
     }
   }
 
