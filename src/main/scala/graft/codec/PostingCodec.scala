@@ -182,6 +182,14 @@ object PostingCodec {
     var tf: Int = 0
     var dl: Int = 0
 
+    // telemetry, read by QueryKernel after a chunk walk: entries decoded by
+    // advance() vs entries/blocks bypassed undecoded by block skipping —
+    // the measurable form of the block-max benefit (one add per posting /
+    // per skipped block; negligible against the varint decode they count)
+    var decodedPostings: Long = 0L
+    var skippedPostings: Long = 0L
+    var skippedBlocks: Long = 0L
+
     def blockMaxScore: Double = blkMax
     def blockLastDocId: Long = blkLast
 
@@ -201,6 +209,8 @@ object PostingCodec {
     private def skipBlockEntries(): Unit = {
       var j = blkRead
       while (j < blkCount) { r.getVarLong(); r.getVarLong(); j += 1 }
+      skippedBlocks += 1
+      skippedPostings += (blkCount - blkRead)
       readTotal += (blkCount - blkRead)
       blkRead = blkCount
       prevBlockLast = blkLast
@@ -215,6 +225,7 @@ object PostingCodec {
       dl = dlOf(docId)
       blkRead += 1
       readTotal += 1
+      decodedPostings += 1
       if (blkRead == blkCount) prevBlockLast = blkLast
       true
     }

@@ -127,6 +127,19 @@ object Dedup {
     math.min(MaxPairBlocks,
       math.max(floor, math.ceil(rows.toDouble / TargetRowsPerBlock).toInt))
 
+  /** Routing blocks for the candidate-driven verify: B such that the
+    * B(B+1)/2 pair-groups hold ≈ TargetRowsPerBlock CANDIDATES each, i.e.
+    * B ≈ sqrt(2·candidates/target). Square-root, NOT pairBlocksFor's linear
+    * rule: candidates are assigned to ONE pair-group each (the work scales
+    * with groups ≈ B²), while each SET replicates to every distinct group
+    * holding one of its candidates — replication grows with B, so B must
+    * grow as slowly as the parallelism target allows (measured: deriving B
+    * linearly gave B=2419 on a 39.6M-candidate corpus and the routing join
+    * shipped tens of millions of array copies — 6× the whole operator). */
+  private[graft] def routingBlocksFor(candidates: Long): Int =
+    math.min(MaxPairBlocks, math.max(DefaultPairBlocks,
+      math.ceil(math.sqrt(2.0 * candidates / TargetRowsPerBlock)).toInt))
+
   /** Exact token-set Jaccard near-dup pairs — the brute-force member of the
     * family, kept exact but made distributed:
     *   1. collapse to distinct-set groups (hash-agg shuffle);
@@ -303,8 +316,21 @@ object Dedup {
                                           blocks: Option[Int] = None): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
+    verifyCandidatePairsOf[Array[String]](groups, cand0, threshold, jaccardOf, blocks)
+  }
+
+  /** The generic core of the candidate-driven verify (scaladoc above):
+    * `S` is the set representation (sorted string arrays for the oracle
+    * surfaces, sorted long fingerprints for the fast paths), `jac` the
+    * matching merge-intersection kernel. */
+  private def verifyCandidatePairsOf[S](groups: DataFrame, cand0: DataFrame,
+                                        threshold: Double, jac: (S, S) => Double,
+                                        blocks: Option[Int] = None)(
+      implicit setEnc: org.apache.spark.sql.Encoder[(Int, S, Array[Long])]): DataFrame = {
+    val spark = groups.sparkSession
+    import spark.implicits._
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val B = blocks.getOrElse(pairBlocksFor(cand.count()))
+    val B = blocks.getOrElse(routingBlocksFor(cand.count()))
     require(B >= 1 && B <= MaxPairBlocks, s"routing blocks out of range: $B")
     def pidOf(sa: Long, sb: Long): Int = {
       val i = (sa % B).toInt; val j = (sb % B).toInt
@@ -315,21 +341,21 @@ object Dedup {
       .toDF("sid", "pid").distinct()
     val setsTagged = groups.join(sidPid, "sid")
       .select(col("pid"), col("ts"), col("members"))
-      .as[(Int, Array[String], Array[Long])]
+      .as[(Int, S, Array[Long])]
     val candTagged = cand.as[(Long, Long)].map { case (sa, sb) => (pidOf(sa, sb), sa, sb) }
     val thr = threshold
     setsTagged.groupByKey(_._1)
       .cogroup(candTagged.groupByKey(_._1)) { (pid, setsIt, candIt) =>
-        val bySid = scala.collection.mutable.HashMap[Long, (Array[String], Array[Long])]()
+        val bySid = scala.collection.mutable.HashMap[Long, (S, Array[Long])]()
         setsIt.foreach { case (_, ts, m) => bySid(m(0)) = (ts, m) }
-        def setOf(sid: Long): (Array[String], Array[Long]) =
+        def setOf(sid: Long): (S, Array[Long]) =
           bySid.getOrElse(sid, throw new IllegalStateException(
             s"verify routing invariant broken: set $sid absent from pair-group $pid " +
               s"(B=$B) — candidate generation and routing disagree"))
         candIt.flatMap { case (_, sa, sb) =>
           val (tsa, ma) = setOf(sa)
           val (tsb, mb) = setOf(sb)
-          val jv = jaccardOf(tsa, tsb)
+          val jv = jac(tsa, tsb)
           if (jv < thr) Iterator.empty
           else for { da <- ma.iterator; db <- mb.iterator }
             yield (math.min(da, db), math.max(da, db), jv)
@@ -473,9 +499,39 @@ object Dedup {
   private def minhashLshOfGroups(groups: DataFrame, threshold: Double): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
+    lshPairsOfGroups[Array[String]](groups, threshold, h32, jaccardOf)
+  }
+
+  /** Shingle-LSH fast path: the same shingle→minhash→band→verify pipeline as
+    * ngramMinhashLsh, with signatures AND verification over 64-bit xxhash64
+    * shingle FINGERPRINTS instead of shingle strings — exact up to 64-bit
+    * collisions, like ngramJaccardPairs (same fingerprint function, same
+    * quantified odds). Candidate sets differ from the string variant only
+    * through the hash family, so expected LSH recall is identical; measured
+    * ~2× on the gate corpus (strings dominate both the minhash explode and
+    * the verify merge loop). Not an oracle surface — DuckDB cannot
+    * reproduce xxhash64 — so the GATE keeps ngramMinhashLsh; OpsScale and
+    * production-sized corpora use this one. */
+  def ngramMinhashLshFast(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sets = documents.select(col("doc_id"),
+      shingleHashes(n)(toks(col("text"))).as("ts"))
+    lshPairsOfGroups[Array[Long]](setGroupsOf(sets), threshold,
+      h => pmod(h, lit(MinhashP)), jaccardOfLongs)
+  }
+
+  /** The generic band pipeline behind minhashLsh/ngramMinhashLsh(+Fast):
+    * `termHash` maps a set element column into [0, MinhashP) for the affine
+    * minhash family; `jac` is the verify kernel over set representation S. */
+  private def lshPairsOfGroups[S](groups: DataFrame, threshold: Double,
+                                  termHash: Column => Column, jac: (S, S) => Double)(
+      implicit setEnc: org.apache.spark.sql.Encoder[(Int, S, Array[Long])]): DataFrame = {
+    val spark = groups.sparkSession
+    import spark.implicits._
     val numBands = NumHashes / BandRows
     val tok = groups.select(col("sid"), explode(col("ts")).as("term"))
-      .withColumn("h", h32(col("term")))
+      .withColumn("h", termHash(col("term")))
     val hashes = (0 until NumHashes).map { j =>
       min((col("h") * hashA(j) + hashB(j)) % MinhashP).as(s"mh$j")
     }
@@ -499,7 +555,7 @@ object Dedup {
       .filter(col("x.band") === firstBand)
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
 
-    // CANDIDATE-DRIVEN block-local verify (shared verifyCandidatePairs):
+    // CANDIDATE-DRIVEN block-local verify (shared verifyCandidatePairsOf):
     // only sets that actually appear in a candidate pair ship to the
     // cogroup, routed to exactly the pair-groups where their candidates
     // live — verify shuffle volume AND per-task memory scale with
@@ -508,7 +564,7 @@ object Dedup {
     // threshold where candidates are rare). Joining the array columns onto
     // candidate ROWS instead (round-1 shape) deserializes the arrays once
     // PER PAIR — measured 7× slower.
-    verifyCandidatePairs(groups, cand, threshold)
+    verifyCandidatePairsOf[S](groups, cand, threshold, jac)
       .unionAll(sameSetPairs(groups))
       .select(col("a"), col("b"), round(col("j"), 6).as("j"))
       .orderBy("a", "b")

@@ -303,8 +303,26 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     candidates(q, Int.MaxValue).toDF("docId", "score")
   }
 
+  /** Uncached profiled top-k: the exact topKUncached plan run with kernel
+    * accumulators registered, returning (hits, counters). Bypasses the plan
+    * cache on purpose — an accumulator is per-query state a cached plan must
+    * not pin — so this is a diagnostic surface (SearchCli explain), not the
+    * serving path. */
+  def topKProfiled(q: SearchQuery): (Array[(Long, Double)], Map[String, Long]) = {
+    import spark.implicits._
+    val tel = QueryKernel.KernelTelemetry.register(spark)
+    val hits = candidates(q, q.k, tel)
+      .toDF("docId", "score")
+      .orderBy(desc("score"), asc("docId"))
+      .limit(q.k)
+      .as[(Long, Double)]
+      .collect()
+    (hits, tel.snapshot)
+  }
+
   /** Per-chunk conjunctive scoring; emits up to `localK` best per chunk. */
-  private[graft] def candidates(q: SearchQuery, localK: Int): Dataset[(Long, Double)] = {
+  private[graft] def candidates(q: SearchQuery, localK: Int,
+                                tel: QueryKernel.KernelTelemetry = null): Dataset[(Long, Double)] = {
     import spark.implicits._
     val ts = termStatsOf(q)
     if (q.terms.isEmpty || q.terms.exists(t => !ts.contains(t)))
@@ -351,6 +369,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     val idfs = terms.map { case (f, t) => Bm25.idf(manifest.numDocs, ts((f, t))._1) }
     val avgdls = terms.map { case (f, _) => manifest.avgdl(f) }
     val kLocal = localK
+    val telLocal = tel
 
     // shuffle sized to the REAL key space: the chunk count is known from the
     // manifest, so a short query over a small index runs 1-2 tasks instead
@@ -371,7 +390,8 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
             val chunk = buf.head._3
             val group = scala.collection.mutable.ArrayBuffer[(String, String, Long, Array[Byte])]()
             while (buf.hasNext && buf.head._3 == chunk) group += buf.next()
-            QueryKernel.scoreChunk(terms, idfs, avgdls, chunk * chunkDocsL, kLocal, group.iterator)
+            QueryKernel.scoreChunk(terms, idfs, avgdls, chunk * chunkDocsL, kLocal,
+              group.iterator, telLocal)
           }
         }.flatten
       }
@@ -407,6 +427,31 @@ class MultiDayEngine(spark: SparkSession, dayDirs: Seq[(String, String)]) {
   * Scala over posting cursors; deliberately outside codegen (SURVEY.md §4 R12).
   */
 object QueryKernel extends Serializable {
+
+  /** Per-query kernel counters (Spark accumulators — merged driver-side
+    * across chunk tasks): the measurable form of the block-max benefit.
+    * `postingsSkipped`/`blocksSkipped` count entries/blocks bypassed
+    * UNDECODED (block-max pruning + conjunction alignment jumps);
+    * `docsScored` counts candidates that reached the BM25 scorer. */
+  final case class KernelTelemetry(
+      docsScored: org.apache.spark.util.LongAccumulator,
+      postingsDecoded: org.apache.spark.util.LongAccumulator,
+      postingsSkipped: org.apache.spark.util.LongAccumulator,
+      blocksSkipped: org.apache.spark.util.LongAccumulator) extends Serializable {
+    def snapshot: Map[String, Long] = Map(
+      "docs_scored" -> docsScored.value,
+      "postings_decoded" -> postingsDecoded.value,
+      "postings_skipped" -> postingsSkipped.value,
+      "blocks_skipped" -> blocksSkipped.value)
+  }
+
+  object KernelTelemetry {
+    def register(spark: SparkSession): KernelTelemetry = KernelTelemetry(
+      spark.sparkContext.longAccumulator("graft.kernel.docsScored"),
+      spark.sparkContext.longAccumulator("graft.kernel.postingsDecoded"),
+      spark.sparkContext.longAccumulator("graft.kernel.postingsSkipped"),
+      spark.sparkContext.longAccumulator("graft.kernel.blocksSkipped"))
+  }
 
   /** Sentinel term carrying a chunk's norms blob through the shuffle. */
   val NormsTerm = "\u0000norms"
@@ -466,7 +511,8 @@ object QueryKernel extends Serializable {
       avgdls: Array[Double],
       baseDocId: Long,
       k: Int,
-      it: Iterator[(String, String, Long, Array[Byte])]): Iterator[(Long, Double)] = {
+      it: Iterator[(String, String, Long, Array[Byte])],
+      tel: KernelTelemetry = null): Iterator[(Long, Double)] = {
 
     if (k <= 0) return Iterator.empty // k=0 top-k is legitimately empty
 
@@ -500,6 +546,7 @@ object QueryKernel extends Serializable {
       Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (-s, d) }
     val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)
 
+    var docsScored = 0L
     var alive = drv.advance()
     var i2 = 1
     while (alive && i2 < nT) { alive = cursors(order(i2)).advance(); i2 += 1 }
@@ -548,6 +595,7 @@ object QueryKernel extends Serializable {
             s += idfs(qi) * Bm25.tfNorm(c.tf, c.dl, avgdls(qi))
             qi += 1
           }
+          docsScored += 1
           if (k == Int.MaxValue) heap.enqueue((target, s))
           else if (heap.size < k) heap.enqueue((target, s))
           else {
@@ -556,6 +604,17 @@ object QueryKernel extends Serializable {
           }
           alive = drv.advance()
         }
+      }
+    }
+    if (tel != null) {
+      tel.docsScored.add(docsScored)
+      var ci = 0
+      while (ci < nT) {
+        val c = cursors(ci)
+        tel.postingsDecoded.add(c.decodedPostings)
+        tel.postingsSkipped.add(c.skippedPostings)
+        tel.blocksSkipped.add(c.skippedBlocks)
+        ci += 1
       }
     }
     heap.iterator

@@ -36,6 +36,7 @@ object OpsScale {
     t("dedup_simhash")(Dedup.simhash(docs).count())
     t("dedup_minhash_lsh")(Dedup.minhashLsh(docs, 0.95).count())
     t("dedup_ngram_lsh")(Dedup.ngramMinhashLsh(docs, 3, 0.8).count())
+    t("dedup_ngram_lsh_fast")(Dedup.ngramMinhashLshFast(docs, 3, 0.8).count())
     t("dedup_jaccard_prefix")(Dedup.jaccardPairsPrefix(docs, 0.95).count())
 
     // ---- IVF at scale: n vectors, k = 512 (≈ sqrt-n sizing), Lloyd x2 ----

@@ -55,6 +55,27 @@ class EndToEndSpec extends SparkFunSuite {
     }
   }
 
+  test("profiled top-k: identical results + kernel counters expose block-max skipping") {
+    // result identity: the profiled path is the same plan with accumulators
+    queries.foreach { case (name, q) =>
+      val plain = engine.topK(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val (prof, _) = engine.topKProfiled(q)
+      assert(prof.toSeq == plain, s"$name profiled != plain")
+    }
+    // across the query set (blockSize=32, AND queries align a rare cursor
+    // against common terms; stopword queries fill the heap), the kernel must
+    // demonstrably skip postings/blocks undecoded — the block-max +
+    // alignment benefit as a measured number
+    val totals = queries.map { case (_, q) => engine.topKProfiled(q)._2 }
+      .reduce((a, b) => a.map { case (k0, v) => k0 -> (v + b(k0)) })
+    assert(totals("docs_scored") > 0 && totals("postings_decoded") > 0, s"$totals")
+    assert(totals("blocks_skipped") > 0 && totals("postings_skipped") > 0,
+      s"kernel never skipped undecoded: $totals")
+    // absent term: nothing decoded, nothing scored
+    val (h8, s8) = engine.topKProfiled(SearchQuery.of(Seq("text" -> Seq("zzznotpresent")), 10))
+    assert(h8.isEmpty && s8("postings_decoded") == 0 && s8("docs_scored") == 0)
+  }
+
   test("concurrent queries on a fresh engine match serial results (cache races)") {
     // topK builds plans OUTSIDE the cache map and publishes with putIfAbsent;
     // 8 threads hammering a COLD engine with the full query set must agree

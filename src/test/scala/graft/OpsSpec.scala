@@ -112,9 +112,11 @@ class OpsSpec extends SparkFunSuite {
     // routing-B now scales with the CANDIDATE count (not a fixed 16): assert
     // the derivation and that the verify cogroup's output is identical at
     // any routing block count — same invariance contract as the pair kernels
-    import graft.ops.Dedup.{pairBlocksFor, DefaultPairBlocks, TargetRowsPerBlock}
-    assert(pairBlocksFor(100L) == DefaultPairBlocks)
-    assert(pairBlocksFor(100L * TargetRowsPerBlock) == 100)
+    import graft.ops.Dedup.{routingBlocksFor, DefaultPairBlocks, MaxPairBlocks, TargetRowsPerBlock}
+    assert(routingBlocksFor(100L) == DefaultPairBlocks)
+    // sqrt rule: B(B+1)/2 pair-groups hold ~TargetRowsPerBlock candidates
+    assert(routingBlocksFor(100L * 100L * TargetRowsPerBlock / 2) == 100)
+    assert(routingBlocksFor(Long.MaxValue) == MaxPairBlocks)
     val sets = docs.select(col("doc_id"),
       array_sort(array_distinct(Dedup.toks(col("text")))).as("ts"))
       .filter(size(col("ts")) > 0)
@@ -187,6 +189,16 @@ class OpsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshSf.subsetOf(exact))
     assert(exact.isEmpty || lshSf.size.toDouble / exact.size >= 0.8)
+    // fingerprinted fast path: same pipeline over xxhash64 fingerprints; the
+    // verify is exact up to 64-bit collisions, so no-false-positives and the
+    // recall floor hold the same way (candidates differ only via hash family)
+    val fast = Dedup.ngramMinhashLshFast(d, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fast.toSeq == Seq((1L, 3L, 1.0)))
+    val fastSf = Dedup.ngramMinhashLshFast(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastSf.subsetOf(exact))
+    assert(exact.isEmpty || fastSf.size.toDouble / exact.size >= 0.8)
     // B-invariance holds for the shingle member too
     def sig(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     assert(sig(Dedup.ngramJaccardPairs(docs, 3, 0.8, Some(2))) ==
