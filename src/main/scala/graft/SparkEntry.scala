@@ -254,22 +254,26 @@ object SparkEntry {
     "dedup_embed" -> ((s, dir) => Similarity.embedDupPairs(s, dir, 0.4)),
     "dedup_embed_ann" -> ((s, dir) => Similarity.embedDupPairsAnn(s, dir, 0.4)),
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(s, dir)),
-    "ann_ivf_buckets" -> ((s, dir) => graft.ops.IvfIndex.ivfBuckets(s, dir, 16)),
+    // both ann_ivf_* gates probe ONE persisted index + its persisted
+    // quantizer (GateIvf — the GateIndex pattern: queries are queries, the
+    // build is the build, benchmarked separately); iters = 0 so the oracle
+    // reproduces the unrefined lowest-vec_id centroids
+    "ann_ivf_buckets" -> ((s, dir) => {
+      val (idx, _) = graft.ops.GateIvf.index(s, dir, 16)
+      s.read.parquet(idx)
+        .groupBy("centroid").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
+        .select(col("centroid").cast("int").as("centroid"), col("n"), col("min_vec"))
+        .orderBy("centroid")
+    }),
     "ann_ivf_top10" -> ((s, dir) => {
-      // IVF-flat end-to-end: build the partitionBy(centroid) index, probe
-      // the query vector's 4 nearest inverted lists, exact-cosine re-rank
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-gate")
-      idx.toFile.deleteOnExit()
-      // build returns the quantizer the lists were written with (iters = 0
-      // here: the oracle reproduces the unrefined lowest-vec_id centroids)
-      val cents = graft.ops.IvfIndex.build(s, emb, idx.toString, 16)
-      val qv = emb.filter(col("vec_id") === 0L)
+      val (idx, cents) = graft.ops.GateIvf.index(s, dir, 16)
+      val qv = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 0L)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       // round BEFORE the top-k cut (like ann_cosine_top10): the oracle's
       // ORDER BY binds to the rounded alias, so cutting on raw cos would
       // pick different rows on a rank-10/11 tie that rounding collapses
-      graft.ops.IvfIndex.queryCandidates(s, idx.toString, cents, qv, nprobe = 4)
+      graft.ops.IvfIndex.queryCandidates(s, idx, cents, qv, nprobe = 4)
         .select(col("vec_id"), col("label"), col("centroid").cast("int").as("centroid"),
           round(col("cos"), 6).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
