@@ -247,6 +247,10 @@ object SparkEntry {
       Dedup.ngramMinhashLsh(s.read.parquet(s"$dir/documents.parquet"), 3, 0.8)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
+    // daily-ingest incremental dedup: only pairs touching the fresh docId
+    // suffix (>= 400) are candidate-joined and verified
+    "dedup_lsh_incr" -> ((s, dir) =>
+      Dedup.minhashLshIncremental(s.read.parquet(s"$dir/documents.parquet"), 400L, 0.95)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- similarity search ----
@@ -279,6 +283,11 @@ object SparkEntry {
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(10)
     }),
+
+    // ---- dataset assembly: deterministic split / sample / sequence packing ----
+    "ds_split" -> ((s, dir) => graft.ops.Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"))),
+    "ds_sample" -> ((s, dir) => graft.ops.Sampling.sampleOneInN(s.read.parquet(s"$dir/documents.parquet"), 20)),
+    "text_pack" -> ((s, dir) => TextOps.packSequences(s.read.parquet(s"$dir/documents.parquet"), 256)),
 
     // ---- text analysis ----
     "text_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
@@ -570,6 +579,57 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95
          |ORDER BY a, b""".stripMargin,
+    // same signature/band/verify SQL as dedup_minhash_lsh, scoped to pairs
+    // involving the fresh docId suffix: a < b makes that exactly b >= 400
+    "dedup_lsh_incr" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, tt.term
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+         |  WHERE length(tt.term) BETWEEN 2 AND 40),
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
+         |mh AS (SELECT doc_id, $minhashCols FROM hh GROUP BY 1),
+         |bands AS ($bandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1)
+         |SELECT cand.a, cand.b,
+         |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE), 6) AS j
+         |FROM cand JOIN ts ta ON cand.a = ta.doc_id JOIN ts tb ON cand.b = tb.doc_id
+         |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95
+         |  AND cand.b >= 400
+         |ORDER BY a, b""".stripMargin,
+
+    // split/sample assignment is a pure function of doc_id via the same
+    // md5-derived 28-bit hash the dedup family uses — both sides literal
+    "ds_split" ->
+      """SELECT doc_id, CASE
+        |  WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 80 THEN 'train'
+        |  WHEN CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 90 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ds_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 20 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // contiguous sequence packing: exclusive prefix sum of analyzer token
+    // counts in doc_id order; pack = integer div of the doc's start offset
+    "text_pack" ->
+      """WITH tc AS (
+        |  SELECT doc_id, CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |       t -> length(t) BETWEEN 2 AND 40)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM tc)
+        |SELECT doc_id, n_tokens, tok_start, tok_start // 256 AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, tt.term

@@ -472,6 +472,27 @@ object Dedup {
   def minhashLsh(documents: DataFrame, threshold: Double): DataFrame =
     minhashLshOfGroups(setGroups(documents), threshold)
 
+  /** Incremental near-dup detection — the daily-ingest shape: emit pairs
+    * (a, b) with J >= threshold that INVOLVE a fresh document
+    * (doc_id >= freshFrom). This engine assigns docIds in epoch order
+    * (daily indexes, T5), so "the new batch" is a docId suffix, and since
+    * a < b in every emitted pair, "involves fresh" is exactly
+    * b >= freshFrom. Output equals
+    * `minhashLsh(docs, t).filter(b >= freshFrom)` (OpsSpec asserts it) but
+    * the CANDIDATE self-join and the exact-J verify — the scale-dominant
+    * stages — only touch pairs with a fresh side; corpus-internal pairs
+    * among already-deduplicated documents are neither generated nor
+    * re-verified. Signatures still compute over the full corpus here (a
+    * production deployment persists the signature/band table between daily
+    * runs; the operator stays self-contained for the oracle). */
+  def minhashLshIncremental(documents: DataFrame, freshFrom: Long,
+                            threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    lshPairsOfGroups[Array[String]](setGroups(documents), threshold, h32, jaccardOf,
+      freshFrom)
+  }
+
   /** Shingle-based MinHash-LSH — the classic shingle→minhash→band pipeline:
     * the ORDER-AWARE near-dup family member that is also sub-quadratic
     * (ngramJaccardPairs is exact but O(n²) by contract; token minhashLsh is
@@ -525,33 +546,45 @@ object Dedup {
     * `termHash` maps a set element column into [0, MinhashP) for the affine
     * minhash family; `jac` is the verify kernel over set representation S. */
   private def lshPairsOfGroups[S](groups: DataFrame, threshold: Double,
-                                  termHash: Column => Column, jac: (S, S) => Double)(
+                                  termHash: Column => Column, jac: (S, S) => Double,
+                                  freshFrom: Long = Long.MinValue)(
       implicit setEnc: org.apache.spark.sql.Encoder[(Int, S, Array[Long])]): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
+    val incremental = freshFrom != Long.MinValue
     val numBands = NumHashes / BandRows
     val tok = groups.select(col("sid"), explode(col("ts")).as("term"))
       .withColumn("h", termHash(col("term")))
     val hashes = (0 until NumHashes).map { j =>
       min((col("h") * hashA(j) + hashB(j)) % MinhashP).as(s"mh$j")
     }
-    val mh = tok.groupBy("sid").agg(hashes.head, hashes.tail: _*)
+    val mh0 = tok.groupBy("sid").agg(hashes.head, hashes.tail: _*)
       .select(col("sid"), array((0 until NumHashes).map(j => col(s"mh$j")): _*).as("mhs"))
+    // incremental mode: flag each set group fresh iff its LARGEST member is
+    // fresh (members are sorted ascending — max = last element); only
+    // fresh-touching candidates survive the self-join below
+    val mh = if (!incremental) mh0
+      else mh0.join(groups.select(col("sid"),
+        (element_at(col("members"), -1) >= lit(freshFrom)).as("fresh")), "sid")
     def bandSlice(side: String, b: Int) =
       slice(col(s"$side.mhs"), b * BandRows + 1, BandRows)
+    val bandCols = Seq(col("sid"), col("mhs")) ++
+      (if (incremental) Seq(col("fresh")) else Nil)
     val bands = (0 until numBands).map { b =>
       // join key = 64-bit hash of the band slice (long compares beat array
       // compares in the self-join); exactness is restored by the firstBand
       // filter below, which compares the REAL slices — a hash collision
       // with unequal slices yields firstBand != band and the row drops
-      mh.select(col("sid"), col("mhs"), lit(b).as("band"),
-        xxhash64(slice(col("mhs"), b * BandRows + 1, BandRows)).as("sigh"))
+      mh.select(bandCols ++ Seq(lit(b).as("band"),
+        xxhash64(slice(col("mhs"), b * BandRows + 1, BandRows)).as("sigh")): _*)
     }.reduce(_ unionAll _)
     val firstBand = coalesce(
       (0 until numBands).map(b => when(bandSlice("x", b) === bandSlice("y", b), lit(b))): _*)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sigh") === col("y.sigh") &&
-        col("x.sid") < col("y.sid"))
+    val joinCond0 = col("x.band") === col("y.band") && col("x.sigh") === col("y.sigh") &&
+      col("x.sid") < col("y.sid")
+    val joinCond = if (incremental) joinCond0 && (col("x.fresh") || col("y.fresh"))
+                   else joinCond0
+    val cand = bands.as("x").join(bands.as("y"), joinCond)
       .filter(col("x.band") === firstBand)
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
 
@@ -564,8 +597,14 @@ object Dedup {
     // threshold where candidates are rare). Joining the array columns onto
     // candidate ROWS instead (round-1 shape) deserializes the arrays once
     // PER PAIR — measured 7× slower.
-    verifyCandidatePairsOf[S](groups, cand, threshold, jac)
+    val pairs = verifyCandidatePairsOf[S](groups, cand, threshold, jac)
       .unionAll(sameSetPairs(groups))
+    // incremental semantic filter: a fresh-flagged GROUP may still expand to
+    // stale×stale member pairs (the flag is any-member-fresh), and same-set
+    // pairs are unflagged — a<b makes "involves a fresh doc" exactly
+    // b >= freshFrom
+    val scoped = if (incremental) pairs.filter(col("b") >= lit(freshFrom)) else pairs
+    scoped
       .select(col("a"), col("b"), round(col("j"), 6).as("j"))
       .orderBy("a", "b")
   }

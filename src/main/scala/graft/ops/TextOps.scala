@@ -132,4 +132,75 @@ object TextOps {
       .toDF("doc_id", "fp_min", "fp_max", "n_shingles")
       .orderBy("doc_id")
   }
+
+  /** Contiguous sequence packing — the concatenate-and-chunk shape that
+    * fills fixed-length LM training windows: documents in doc_id order form
+    * one token stream; each doc's `start` is the exclusive prefix sum of
+    * analyzer token counts and `pack_id = start div maxTokens` (a doc whose
+    * tokens straddle a window boundary belongs to the pack it starts in).
+    *
+    * Distributed prefix sum in the DocIds two-pass shape (no global
+    * single-task window): range-partition + sort by doc_id and PERSIST the
+    * pinned intermediate (re-executing repartitionByRange reseeds its range
+    * sampling, so unpinned passes could disagree on boundaries); pass 1
+    * collects (first doc_id, token subtotal) per partition — P rows — and
+    * prefix-sums to per-partition bases KEYED BY DATA (first doc_id, not
+    * partition id: task ids shift under union consumption); pass 2 streams
+    * each partition once adding base + running local sum. Result is
+    * invariant under parallelism (PackSpec asserts at two partition
+    * counts). */
+  def packSequences(documents: DataFrame, maxTokens: Long,
+                    numPartitions: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val counts = documents
+      .select(col("doc_id"),
+        // null text counts 0 tokens (size(null) would be -1)
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+    // the persist is LOAD-BEARING and must outlive the returned (lazy)
+    // frame: pass 2 executes when the caller does, and an unpinned
+    // re-execution of repartitionByRange could re-sample different range
+    // boundaries than pass 1 based its offsets on (see DocIds scaladoc).
+    // Footprint is two longs per doc; Spark evicts LRU if memory is tight.
+    val sorted = counts
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partInfo = sorted.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val (firstId, firstN) = it.next()
+          var sum = firstN
+          while (it.hasNext) { sum += it.next()._2 }
+          Iterator.single((firstId, sum))
+        }
+      }.collect().sortBy(_._1)
+      var acc = 0L
+      val bases: Map[Long, Long] = partInfo.map { case (firstId, sum) =>
+        val b = acc; acc += sum; firstId -> b
+      }.toMap
+      val basesB = spark.sparkContext.broadcast(bases)
+      val max = maxTokens
+      sorted.mapPartitions { it =>
+        val buf = it.buffered
+        if (!buf.hasNext) Iterator.empty
+        else {
+          val base = basesB.value.getOrElse(buf.head._1,
+            throw new IllegalStateException(
+              s"pack base missing for partition first doc_id ${buf.head._1}"))
+          var cum = base
+          buf.map { case (id, n) =>
+            val start = cum
+            cum += n
+            (id, n, start, start / max)
+          }
+        }
+      }.toDF("doc_id", "n_tokens", "tok_start", "pack_id")
+        .orderBy("doc_id")
+  }
 }

@@ -243,6 +243,59 @@ class OpsSpec extends SparkFunSuite {
     graft.ops.AnnIndex.build(spark, spark.read.parquet(s"$dir/embeddings.parquet"), s"$dir/idx")
   }
 
+  test("incremental LSH == full LSH scoped to pairs touching the fresh suffix") {
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val f = maxId / 2
+    assert(sig(Dedup.minhashLshIncremental(docs, f, 0.95)) ==
+           sig(Dedup.minhashLsh(docs, 0.95).filter(col("b") >= f)))
+    // F beyond the corpus -> empty; F = 0 -> identical to the full operator
+    assert(Dedup.minhashLshIncremental(docs, maxId + 1, 0.95).count() == 0)
+    assert(sig(Dedup.minhashLshIncremental(docs, 0L, 0.95)) ==
+           sig(Dedup.minhashLsh(docs, 0.95)))
+  }
+
+  test("hash split/sample: deterministic, partition-invariant, proportions sane") {
+    import graft.ops.Sampling
+    val s1 = Sampling.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(1))
+    val s2 = Sampling.hashSplit(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.length == docs.count())
+    val byS = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    // 80/10/10 within loose tolerance at n=docs (hash uniformity)
+    assert(byS("train") > s1.length * 0.6 && byS("train") < s1.length * 0.95, s"$byS")
+    assert(byS.getOrElse("val", 0) + byS.getOrElse("test", 0) == s1.length - byS("train"))
+    // different salt -> different assignment (decorrelated splits)
+    val alt = Sampling.hashSplit(docs, salt = "other").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(alt.toSeq != s1.toSeq)
+    val kept = Sampling.sampleOneInN(docs, 20).collect().map(_.getLong(0))
+    assert(kept.length > 0 && kept.length < s1.length / 5) // ~1/20
+    assert(kept.sameElements(kept.sorted))
+    intercept[IllegalArgumentException](Sampling.hashSplit(docs, 90, 20).collect())
+  }
+
+  test("packSequences: distributed prefix sum is exact and parallelism-invariant") {
+    val packed = TextOps.packSequences(docs, 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // oracle: driver-side sequential cumsum over doc_id order
+    val counts = docs.collect()
+      .map(r => r.getLong(0) -> graft.analyze.TextAnalyzer.tokens(r.getString(1)).length.toLong)
+      .sortBy(_._1)
+    var cum = 0L
+    val expect = counts.map { case (id, n) =>
+      val st = cum; cum += n; (id, n, st, st / 256)
+    }
+    assert(packed.toSeq == expect.toSeq)
+    // invariant at a different partition count (different range boundaries)
+    val p3 = TextOps.packSequences(docs, 256, numPartitions = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p3.toSeq == expect.toSeq)
+    // packs are contiguous and starts are monotone
+    assert(packed.map(_._3).sameElements(packed.map(_._3).sorted))
+  }
+
   test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
     val t = Transcripts.fromDocuments(spark, sf)
     val sorted = t.select("doc_id", "conv_id", "turn_idx").collect()
