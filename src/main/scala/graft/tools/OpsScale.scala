@@ -17,15 +17,22 @@ object OpsScale {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // deterministic text: ~40 words drawn from a mid-sized vocabulary by a
-    // per-doc seed; docs where id % 20 < 2 share their text with their pair
-    // partner (seed = id with the low bit cleared) -> ~n/20 duplicate pairs
+    // deterministic text: ~40 words drawn from a vocabulary that GROWS with
+    // the corpus (V = n/10, Heaps-ish — real corpora add vocabulary as they
+    // grow), so per-token df stays ~400 at every n: the regime the
+    // sub-quadratic members are designed for. (A vocabulary FIXED while n
+    // grows makes df ~ n and prefix-filter candidates ~ n² — the documented
+    // degenerate case, measured separately by PrefixProbe.) At the
+    // historical n=200k, V = 20k — identical corpus to the round-3 record.
+    // Docs where id % 20 < 2 share their text with their pair partner
+    // (seed = id with the low bit cleared) -> ~n/20 duplicate pairs.
+    val vocab = math.max(20000L, n / 10)
     val docs = spark.range(0, n, 1, 64)
       .select(col("id").as("doc_id"),
         when(col("id") % 20 < 2, col("id").bitwiseAND(lit(-2L))).otherwise(col("id")).as("seed"))
       .select(col("doc_id"), concat_ws(" ",
         (0 until 40).map(i => concat(lit("w"),
-          pmod(hash(col("seed") * 40 + i), lit(20000)))): _*).as("text"))
+          pmod(hash(col("seed") * 40 + i), lit(vocab)))): _*).as("text"))
 
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val rows = f
