@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Dedup
+
+/** Continuous near-duplicate detection — the streaming member of the dedup
+  * family: each micro-batch of incoming documents is (1) appended to the
+  * corpus table and (2) near-dup-checked against EVERYTHING ingested so far
+  * (earlier batches and in-batch), emitting the qualifying pairs to an
+  * append-only pairs table. The heavy lifting is
+  * [[Dedup.minhashLshIncremental]]: docIds arrive in epoch order, so a
+  * micro-batch is a docId suffix of the grown corpus, and the band
+  * self-join + exact-J verify touch only pairs with a batch-side member —
+  * per-batch cost scales with the batch and its candidates, not the corpus.
+  *
+  * Exactly-once: the corpus/pairs appends are guarded by the checkpoint's
+  * batch commit log the same way the ingest sinks are (foreachBatch runs
+  * under the streaming engine's batchId contract — a replayed batch
+  * overwrites its own output partition instead of duplicating it, because
+  * both writes go to a `batch_id=<id>` partition directory).
+  *
+  * A restarted query resumes from the checkpoint and re-emits nothing for
+  * committed batches (StreamDedupSpec drives a restart).
+  */
+object StreamDedup {
+
+  /** Start the dedup stream: `docsStream` must be a streaming frame of
+    * (doc_id LONG, text STRING) with epoch-ordered doc_ids. Pairs land in
+    * `pairsDir` partitioned by batch_id; the corpus accumulates in
+    * `corpusDir`. */
+  def start(spark: SparkSession, docsStream: DataFrame, corpusDir: String,
+            pairsDir: String, checkpointDir: String,
+            threshold: Double = 0.95,
+            drainAndStop: Boolean = false): StreamingQuery = {
+    val w = docsStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, corpusDir, pairsDir, threshold)
+      }
+    // AvailableNow drains what already landed then stops (batch-style daily
+    // runs); the default trigger keeps consuming (resident service / tests
+    // feeding a MemoryStream after start)
+    (if (drainAndStop) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** One micro-batch: append docs to the corpus (idempotent per batch via
+    * partition overwrite), then emit near-dup pairs touching this batch. */
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+                                      batchId: Long, corpusDir: String,
+                                      pairsDir: String, threshold: Double): Unit = {
+    val rows = batch.select(col("doc_id"), col("text")).cache()
+    val freshFrom = rows.agg(min("doc_id")).collect()(0)
+    if (freshFrom.isNullAt(0)) { rows.unpersist(); return } // empty batch
+    // idempotent append: a replayed batch rewrites ITS batch_id partition
+    rows.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
+    val pairs = Dedup.minhashLshIncremental(corpus, freshFrom.getLong(0), threshold)
+    pairs.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(pairsDir)
+    rows.unpersist()
+  }
+}
