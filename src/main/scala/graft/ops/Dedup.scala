@@ -322,8 +322,9 @@ object Dedup {
   /** The generic core of the candidate-driven verify (scaladoc above):
     * `S` is the set representation (sorted string arrays for the oracle
     * surfaces, sorted long fingerprints for the fast paths), `jac` the
-    * matching merge-intersection kernel. */
-  private def verifyCandidatePairsOf[S](groups: DataFrame, cand0: DataFrame,
+    * matching merge-intersection kernel. private[graft]: SignatureStore
+    * routes its store-backed candidates through the same cogroup. */
+  private[graft] def verifyCandidatePairsOf[S](groups: DataFrame, cand0: DataFrame,
                                         threshold: Double, jac: (S, S) => Double,
                                         blocks: Option[Int] = None)(
       implicit setEnc: org.apache.spark.sql.Encoder[(Int, S, Array[Long])]): DataFrame = {
@@ -566,27 +567,7 @@ object Dedup {
     val mh = if (!incremental) mh0
       else mh0.join(groups.select(col("sid"),
         (element_at(col("members"), -1) >= lit(freshFrom)).as("fresh")), "sid")
-    def bandSlice(side: String, b: Int) =
-      slice(col(s"$side.mhs"), b * BandRows + 1, BandRows)
-    val bandCols = Seq(col("sid"), col("mhs")) ++
-      (if (incremental) Seq(col("fresh")) else Nil)
-    val bands = (0 until numBands).map { b =>
-      // join key = 64-bit hash of the band slice (long compares beat array
-      // compares in the self-join); exactness is restored by the firstBand
-      // filter below, which compares the REAL slices — a hash collision
-      // with unequal slices yields firstBand != band and the row drops
-      mh.select(bandCols ++ Seq(lit(b).as("band"),
-        xxhash64(slice(col("mhs"), b * BandRows + 1, BandRows)).as("sigh")): _*)
-    }.reduce(_ unionAll _)
-    val firstBand = coalesce(
-      (0 until numBands).map(b => when(bandSlice("x", b) === bandSlice("y", b), lit(b))): _*)
-    val joinCond0 = col("x.band") === col("y.band") && col("x.sigh") === col("y.sigh") &&
-      col("x.sid") < col("y.sid")
-    val joinCond = if (incremental) joinCond0 && (col("x.fresh") || col("y.fresh"))
-                   else joinCond0
-    val cand = bands.as("x").join(bands.as("y"), joinCond)
-      .filter(col("x.band") === firstBand)
-      .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
+    val cand = bandCandidates(mh, incremental)
 
     // CANDIDATE-DRIVEN block-local verify (shared verifyCandidatePairsOf):
     // only sets that actually appear in a candidate pair ship to the
@@ -607,6 +588,36 @@ object Dedup {
     scoped
       .select(col("a"), col("b"), round(col("j"), 6).as("j"))
       .orderBy("a", "b")
+  }
+
+  /** Band-bucket candidate self-join over a signature frame (sid LONG,
+    * mhs ARRAY<LONG>[, fresh BOOLEAN]): each pair emitted from its FIRST
+    * colliding band only (unique candidates, no distinct shuffle); join key
+    * is a 64-bit hash of the band slice — long compares beat array compares
+    * in the self-join, and exactness is restored by the firstBand filter,
+    * which compares the REAL slices (a hash collision with unequal slices
+    * yields firstBand != band and the row drops). With `withFresh`, only
+    * pairs with a fresh side survive. Shared by the in-memory LSH pipeline
+    * and SignatureStore's persisted-signature path. */
+  private[graft] def bandCandidates(mh: DataFrame, withFresh: Boolean): DataFrame = {
+    val numBands = NumHashes / BandRows
+    def bandSlice(side: String, b: Int) =
+      slice(col(s"$side.mhs"), b * BandRows + 1, BandRows)
+    val bandCols = Seq(col("sid"), col("mhs")) ++
+      (if (withFresh) Seq(col("fresh")) else Nil)
+    val bands = (0 until numBands).map { b =>
+      mh.select(bandCols ++ Seq(lit(b).as("band"),
+        xxhash64(slice(col("mhs"), b * BandRows + 1, BandRows)).as("sigh")): _*)
+    }.reduce(_ unionAll _)
+    val firstBand = coalesce(
+      (0 until numBands).map(b => when(bandSlice("x", b) === bandSlice("y", b), lit(b))): _*)
+    val joinCond0 = col("x.band") === col("y.band") && col("x.sigh") === col("y.sigh") &&
+      col("x.sid") < col("y.sid")
+    val joinCond = if (withFresh) joinCond0 && (col("x.fresh") || col("y.fresh"))
+                   else joinCond0
+    bands.as("x").join(bands.as("y"), joinCond)
+      .filter(col("x.band") === firstBand)
+      .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
   }
 
   /** 32-bit SimHash per doc: bit b set when the tf-weighted sum of term hash

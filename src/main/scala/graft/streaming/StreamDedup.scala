@@ -4,16 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.Dedup
-
 /** Continuous near-duplicate detection — the streaming member of the dedup
   * family: each micro-batch of incoming documents is (1) appended to the
   * corpus table and (2) near-dup-checked against EVERYTHING ingested so far
   * (earlier batches and in-batch), emitting the qualifying pairs to an
   * append-only pairs table. The heavy lifting is
-  * [[Dedup.minhashLshIncremental]]: docIds arrive in epoch order, so a
-  * micro-batch is a docId suffix of the grown corpus, and the band
-  * self-join + exact-J verify touch only pairs with a batch-side member —
+  * [[graft.ops.SignatureStore]]: each batch's text is tokenized and
+  * minhash-signed exactly once at ingest; the check is a band join of the
+  * batch's signatures against the persisted signature table plus a
+  * candidate-driven verify over persisted token sets. DocIds arrive in
+  * epoch order, so a micro-batch is a docId suffix of the grown corpus and
+  * only pairs with a batch-side member are generated or verified —
   * per-batch cost scales with the batch and its candidates, not the corpus.
   *
   * Exactly-once: the corpus/pairs appends are guarded by the checkpoint's
@@ -48,21 +49,28 @@ object StreamDedup {
     (if (drainAndStop) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
-  /** One micro-batch: append docs to the corpus (idempotent per batch via
-    * partition overwrite), then emit near-dup pairs touching this batch. */
+  /** One micro-batch: append docs to the corpus and their signatures/token
+    * sets to the signature store (all idempotent per batch via partition
+    * overwrite), then emit near-dup pairs touching this batch FROM THE
+    * STORE — the batch's text is tokenized exactly once, ever; earlier
+    * batches are only touched through columnar signature/tokenset reads
+    * (see [[graft.ops.SignatureStore]]). The store lives at
+    * `<corpusDir>-sigstore`. */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
-                                      batchId: Long, corpusDir: String,
-                                      pairsDir: String, threshold: Double): Unit = {
+                                  batchId: Long, corpusDir: String,
+                                  pairsDir: String, threshold: Double): Unit = {
+    val storeDir = s"$corpusDir-sigstore"
     val rows = batch.select(col("doc_id"), col("text")).cache()
     val freshFrom = rows.agg(min("doc_id")).collect()(0)
     if (freshFrom.isNullAt(0)) { rows.unpersist(); return } // empty batch
-    // idempotent append: a replayed batch rewrites ITS batch_id partition
+    // idempotent appends: a replayed batch rewrites ITS batch_id partition
     rows.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(corpusDir)
-    val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
-    val pairs = Dedup.minhashLshIncremental(corpus, freshFrom.getLong(0), threshold)
+    graft.ops.SignatureStore.append(spark, rows, storeDir, batchId)
+    val pairs = graft.ops.SignatureStore.pairsTouchingFresh(
+      spark, storeDir, freshFrom.getLong(0), threshold)
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
