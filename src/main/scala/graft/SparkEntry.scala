@@ -287,7 +287,25 @@ object SparkEntry {
     // ---- dataset assembly: deterministic split / sample / sequence packing ----
     "ds_split" -> ((s, dir) => graft.ops.Sampling.hashSplit(s.read.parquet(s"$dir/documents.parquet"))),
     "ds_sample" -> ((s, dir) => graft.ops.Sampling.sampleOneInN(s.read.parquet(s"$dir/documents.parquet"), 20)),
+    "ds_mix" -> ((s, dir) =>
+      graft.ops.Sampling.sampleByStratum(s.read.parquet(s"$dir/documents.parquet"), "lang", MixRates)),
     "text_pack" -> ((s, dir) => TextOps.packSequences(s.read.parquet(s"$dir/documents.parquet"), 256)),
+
+    // ---- curation hygiene: benchmark decontamination + attrition funnel ----
+    "decontam" -> ((s, dir) => {
+      // pretend eval set = every 50th doc; flag training docs sharing any
+      // word 5-gram with it
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 5)
+    }),
+    "curate_funnel" -> ((s, dir) => {
+      graft.ops.Curate.funnel(s.read.parquet(s"$dir/documents.parquet"), Seq(
+        "min_chars" -> (length(col("text")) >= 50),
+        "lang_whitelist" -> col("lang").isin("en", "de", "es", "fr"),
+        "min_tokens" -> (size(Dedup.toks(col("text"))) >= 10)))
+    }),
 
     // ---- text analysis ----
     "text_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
@@ -299,6 +317,12 @@ object SparkEntry {
     // decode (dims are a stated function of doc_id, so the oracle can
     // assert the decoded values literally) ----
     "mm_meta" -> ((s, dir) => Multimodal.extractMeta(s, s.read.parquet(s"$dir/documents.parquet"))))
+
+  /** Mixture-control rates for the ds_mix gate (lang strata; en is the
+    * over-represented stratum being down-sampled). Thresholds interpolate
+    * into BOTH the Spark filter and the oracle SQL as the same integer. */
+  private val MixRates = Map(
+    "en" -> 0.3, "de" -> 1.0, "es" -> 0.8, "fr" -> 1.0, "zh" -> 0.5)
 
   // ======================= DuckDB oracles =======================
 
@@ -614,6 +638,58 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 20 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "ds_mix" -> {
+      val cases = MixRates.toSeq.sortBy(_._1).map { case (s, r) =>
+        s"WHEN '$s' THEN ${graft.ops.Sampling.thresholdPerMillion(r)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang AS stratum FROM documents
+         |WHERE CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000000 <
+         |  CASE lang $cases ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // 5-gram decontamination vs the every-50th-doc "benchmark"; n_hits =
+    // distinct shared shingles per training doc
+    "decontam" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                             t -> length(t) BETWEEN 2 AND 40) AS l
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(l[i:i+4], ' ') FOR i IN generate_series(1, len(l) - 4)]) AS sh
+        |  FROM base WHERE len(l) >= 5),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM sh s JOIN bench b ON s.sh = b.sh
+        |  WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "curate_funnel" ->
+      """WITH f AS (
+        |  SELECT length(text) >= 50 AS c0,
+        |         lang IN ('en','de','es','fr') AS c1,
+        |         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |             t -> length(t) BETWEEN 2 AND 40)) >= 10 AS c2
+        |  FROM documents)
+        |SELECT CAST(0 AS INT) AS stage_idx, 'min_chars' AS stage,
+        |       CAST(count(*) AS BIGINT) AS n_in,
+        |       CAST(sum(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM f
+        |UNION ALL
+        |SELECT CAST(1 AS INT), 'lang_whitelist',
+        |       CAST(sum(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN c0 AND c1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'min_tokens',
+        |       CAST(sum(CASE WHEN c0 AND c1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN c0 AND c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        |ORDER BY stage_idx""".stripMargin,
 
     // contiguous sequence packing: exclusive prefix sum of analyzer token
     // counts in doc_id order; pack = integer div of the doc's start offset

@@ -425,6 +425,34 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Benchmark decontamination — flag training documents sharing any word
+    * n-gram with an evaluation/benchmark corpus (the standard pre-training
+    * hygiene pass: eval questions leaking into training data inflate
+    * benchmark scores). Returns (doc_id, n_hits, contaminated) for every
+    * training doc, where n_hits = number of DISTINCT n-grams shared with
+    * the benchmark.
+    *
+    * Scale shape: both sides explode to distinct n-gram shingle rows; the
+    * benchmark side is the small one (eval sets are thousands of docs), so
+    * the shingle equi-join broadcasts it when the planner sees fit; the
+    * aggregation is one hash-agg on doc_id. Shingles compare as STRINGS for
+    * oracle parity — at 100 TB the xxhash64 fingerprint form halves the
+    * shuffle (same shingleHashes machinery as the ngram members). */
+  def decontaminate(training: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    def shingleRows(df: DataFrame) = df
+      .select(col("doc_id"), explode(shingleStrings(n)(toks(col("text")))).as("sh"))
+    val benchShingles = shingleRows(benchmark).select(col("sh")).distinct()
+    val hits = shingleRows(training)
+      .join(benchShingles, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    training.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val MinhashP = 2147483647L // 2^31 - 1
   val NumHashes = 16
   val BandRows = 4 // 4 bands x 4 rows

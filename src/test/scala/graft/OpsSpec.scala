@@ -296,6 +296,60 @@ class OpsSpec extends SparkFunSuite {
     assert(packed.map(_._3).sameElements(packed.map(_._3).sorted))
   }
 
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((1000L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "completely unrelated content about spark executors"),
+      (2L, "he said the quick brown fox jumps high"), // shares 5-gram run
+      (3L, "quick brown fox and nothing else"),       // only 3 shared words: no 5-gram
+      (4L, Option.empty[String].orNull))              // null text: clean
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, 0L, false), (2L, 1L, true), (3L, 0L, false), (4L, 0L, false)),
+      s"got ${got.toSeq}")
+  }
+
+  test("rebalanceRates hits target proportions; sampleByStratum is monotone in rate") {
+    import graft.ops.Sampling
+    val rates = Sampling.rebalanceRates(docs, "lang", Map("en" -> 1.0, "de" -> 1.0))
+    // binding stratum gets rate 1.0; expected kept counts are proportional
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = Seq("en", "de").minBy(counts)
+    assert(math.abs(rates(binding) - 1.0) < 1e-12)
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    // expected kept per stratum ~ equal: c_s * r_s equal across strata
+    val keptExp = Seq("en", "de").map(s => counts(s) * rates(s))
+    assert(math.abs(keptExp(0) - keptExp(1)) < 1e-6)
+    // monotone: raising a rate only adds docs
+    val lo = Sampling.sampleByStratum(docs, "lang", Map("en" -> 0.2)).collect()
+      .map(_.getLong(0)).toSet
+    val hi = Sampling.sampleByStratum(docs, "lang", Map("en" -> 0.6)).collect()
+      .map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+    // untargeted strata drop entirely
+    assert(Sampling.sampleByStratum(docs, "lang", Map("en" -> 1.0))
+      .select("stratum").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
+  test("curate funnel: one-pass counts chain correctly and match apply()") {
+    import graft.ops.Curate
+    val stages = Seq(
+      "min_chars" -> (length(col("text")) >= 50),
+      "lang" -> col("lang").isin("en", "de"),
+      "min_tokens" -> (size(Dedup.toks(col("text"))) >= 10))
+    val f = Curate.funnel(docs, stages).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(f.map(_._2).toSeq == Seq("min_chars", "lang", "min_tokens"))
+    assert(f(0)._3 == docs.count())
+    // chaining: stage i's n_in == stage i-1's n_kept; counts non-increasing
+    assert(f(1)._3 == f(0)._4 && f(2)._3 == f(1)._4)
+    assert(f.forall { case (_, _, nIn, nKept) => nKept <= nIn })
+    assert(Curate(docs, stages).count() == f(2)._4)
+  }
+
   test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
     val t = Transcripts.fromDocuments(spark, sf)
     val sorted = t.select("doc_id", "conv_id", "turn_idx").collect()
