@@ -626,8 +626,16 @@ object Dedup {
     * which compares the REAL slices (a hash collision with unequal slices
     * yields firstBand != band and the row drops). With `withFresh`, only
     * pairs with a fresh side survive. Shared by the in-memory LSH pipeline
-    * and SignatureStore's persisted-signature path. */
-  private[graft] def bandCandidates(mh: DataFrame, withFresh: Boolean): DataFrame = {
+    * and SignatureStore's persisted-signature path.
+    *
+    * `rightFreshOnly` (doc-level callers ONLY): restrict the y side of the
+    * self-join to FRESH rows — valid when sid IS the doc id and the output
+    * contract keeps pairs with the LARGER id fresh (epoch-ordered suffix:
+    * b fresh ⟺ pair touches fresh), so the join shrinks from all×all to
+    * all×fresh. NOT valid at set-group level, where sid = min member and a
+    * small-sid group can still hold a fresh member. */
+  private[graft] def bandCandidates(mh: DataFrame, withFresh: Boolean,
+                                    rightFreshOnly: Boolean = false): DataFrame = {
     val numBands = NumHashes / BandRows
     def bandSlice(side: String, b: Int) =
       slice(col(s"$side.mhs"), b * BandRows + 1, BandRows)
@@ -641,9 +649,11 @@ object Dedup {
       (0 until numBands).map(b => when(bandSlice("x", b) === bandSlice("y", b), lit(b))): _*)
     val joinCond0 = col("x.band") === col("y.band") && col("x.sigh") === col("y.sigh") &&
       col("x.sid") < col("y.sid")
-    val joinCond = if (withFresh) joinCond0 && (col("x.fresh") || col("y.fresh"))
-                   else joinCond0
-    bands.as("x").join(bands.as("y"), joinCond)
+    val right = if (rightFreshOnly) bands.filter(col("fresh")) else bands
+    val joinCond =
+      if (withFresh && !rightFreshOnly) joinCond0 && (col("x.fresh") || col("y.fresh"))
+      else joinCond0
+    bands.as("x").join(right.as("y"), joinCond)
       .filter(col("x.band") === firstBand)
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
   }

@@ -57,7 +57,10 @@ object SignatureStore {
     val sig = spark.read.parquet(s"$dir/signatures")
       .select(col("doc_id").as("sid"), col("mhs"),
         (col("doc_id") >= lit(freshFrom)).as("fresh"))
-    val cand = Dedup.bandCandidates(sig, withFresh = true)
+    // doc-level + epoch-ordered suffix: the output's larger side b is always
+    // fresh, so the band join runs all×FRESH instead of all×all — the join
+    // cost scales with the batch, not the corpus squared
+    val cand = Dedup.bandCandidates(sig, withFresh = true, rightFreshOnly = true)
     // every doc is its own "group": members = [doc_id], sid = doc_id — the
     // shared verify cogroup then ships only candidate docs' token sets
     val groups = spark.read.parquet(s"$dir/tokensets")
