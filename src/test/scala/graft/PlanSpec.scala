@@ -116,4 +116,43 @@ class PlanSpec extends SparkFunSuite {
       s"ANN candidate join degenerated in:\n$plan")
     assert(plan.contains("bucket"), s"bucket key missing in:\n$plan")
   }
+
+  test("decontaminate is an equi-join on the shingle (never a nested loop)") {
+    val df = graft.ops.Dedup.decontaminate(
+      sfDocs.filter(col("doc_id") % 50 =!= 0),
+      sfDocs.filter(col("doc_id") % 50 === 0), 5)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decontaminate join degenerated in:\n$plan")
+  }
+
+  test("curate funnel is ONE aggregation pass over one scan") {
+    val df = graft.ops.Curate.funnel(sfDocs, Seq(
+      "min_chars" -> (length(col("text")) >= 50),
+      "min_tokens" -> (size(graft.ops.Dedup.toks(col("text"))) >= 10)))
+    // funnel() collects internally; the report frame is driver-local rows.
+    // Assert the SCAN count through the aggregation: build the flagged+agg
+    // plan the same way and count scans/aggregates
+    val flagged = sfDocs.select(
+      (length(col("text")) >= 50).as("_c0"),
+      (size(graft.ops.Dedup.toks(col("text"))) >= 10).as("_c1"))
+    val agg = flagged.select((col("_c0")).as("_s0"), (col("_c0") && col("_c1")).as("_s1"))
+      .agg(count(lit(1)), sum(when(col("_s0"), 1L)), sum(when(col("_s1"), 1L)))
+    agg.collect()
+    val plan = executedPlan(agg).split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1, s"funnel shape scans the corpus $scans times:\n$plan")
+    assert(df.collect().length == 2)
+  }
+
+  test("packSequences: one range shuffle, two streamed passes over the pinned sort") {
+    val df = graft.ops.TextOps.packSequences(sfDocs, 256)
+    df.collect()
+    val plan = executedPlan(df)
+    // the prefix-sum passes read the persisted range-sorted intermediate:
+    // the executed plan must hit the InMemoryRelation, not re-shuffle
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"pinned intermediate not reused in:\n$plan")
+  }
 }
