@@ -161,16 +161,15 @@ object Bench {
 
     def jm(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    def ja(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
     sb.append(s"""{"metric":"total","value":${f"$gateTotal%.3f"},"unit":"sec"""")
     sb.append(s""","queries":${jm(gate)}""")
     sb.append(s""","queries_rep2":${jm(rep2.toSeq.sortBy(_._1))}""")
     sb.append(s""","queries_aggregation":"min_of_2_for_5_heaviest"""")
     sb.append(s""","sf":"$sfDir"""")
-    def jaS(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-    sb.append(s""","index_build":{"turns":$benchTurns,"sec":${f"$buildSec%.2f"},"reps":${jaS(buildReps)},"aggregation":"min_of_3","turns_per_sec":${f"${benchTurns / buildSec}%.0f"},"index_bytes":$indexBytes,"docstore_bytes":$docstoreBytes,"postings":$totalPostings,"bytes_per_posting":${f"${indexBytes.toDouble / math.max(1L, totalPostings)}%.2f"}}""")
+    sb.append(s""","index_build":{"turns":$benchTurns,"sec":${f"$buildSec%.2f"},"reps":${ja(buildReps)},"aggregation":"min_of_3","turns_per_sec":${f"${benchTurns / buildSec}%.0f"},"index_bytes":$indexBytes,"docstore_bytes":$docstoreBytes,"postings":$totalPostings,"bytes_per_posting":${f"${indexBytes.toDouble / math.max(1L, totalPostings)}%.2f"}}""")
     sb.append(s""","query_latency":{"p50_ms":${f"${pct(0.5) * 1000}%.1f"},"p99_ms":${f"${pct(0.99) * 1000}%.1f"},"per_query_ms":${jm(perQ.map { case (k, v) => k -> v * 1000 })}}""")
-    def ja(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     sb.append(s""","scaling":{"turns":$scaleTurns,"cpus_low":$lowCpus,"cpus_high":$highCpus,"sec_low":${f"$secLow%.2f"},"sec_high":${f"$secHigh%.2f"},"sec_low_median":${f"${legLow.median}%.2f"},"sec_high_median":${f"${legHigh.median}%.2f"},"reps_low":${ja(legLow.reps)},"reps_high":${ja(legHigh.reps)},"cpus_allowed_low":"${legLow.cpusAllowed}","cpus_allowed_high":"${legHigh.cpusAllowed}","bound":${legLow.bound && legHigh.bound},"aggregation":"min_per_leg_uncontended","thr_low":${f"$thrLow%.0f"},"thr_high":${f"$thrHigh%.0f"},"efficiency":${f"$eff%.3f"}}""")
     sb.append("}")
     println(sb.toString)

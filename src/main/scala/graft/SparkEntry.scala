@@ -263,25 +263,33 @@ object SparkEntry {
     // build is the build, benchmarked separately); iters = 0 so the oracle
     // reproduces the unrefined lowest-vec_id centroids
     "ann_ivf_buckets" -> ((s, dir) => {
-      val (idx, _) = graft.ops.GateIvf.index(s, dir, 16)
-      s.read.parquet(idx)
+      val (idx, cents) = graft.ops.GateIvf.index(s, dir, 16)
+      if (cents.isEmpty) // empty embeddings table: schema-stable empty frame
+        s.read.parquet(s"$dir/embeddings.parquet").limit(0)
+          .select(lit(0).as("centroid"), lit(0L).as("n"), col("vec_id").as("min_vec"))
+      else s.read.parquet(idx)
         .groupBy("centroid").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
         .select(col("centroid").cast("int").as("centroid"), col("n"), col("min_vec"))
         .orderBy("centroid")
     }),
     "ann_ivf_top10" -> ((s, dir) => {
       val (idx, cents) = graft.ops.GateIvf.index(s, dir, 16)
-      val qv = s.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") === 0L)
-        .select("embedding").collect()(0).getSeq[Float](0).toArray
-      // round BEFORE the top-k cut (like ann_cosine_top10): the oracle's
-      // ORDER BY binds to the rounded alias, so cutting on raw cos would
-      // pick different rows on a rank-10/11 tie that rounding collapses
-      graft.ops.IvfIndex.queryCandidates(s, idx, cents, qv, nprobe = 4)
-        .select(col("vec_id"), col("label"), col("centroid").cast("int").as("centroid"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy(desc("cos"), asc("vec_id"))
-        .limit(10)
+      if (cents.isEmpty) // empty embeddings table: schema-stable empty frame
+        s.read.parquet(s"$dir/embeddings.parquet").limit(0)
+          .select(col("vec_id"), col("label"), lit(0).as("centroid"), lit(0.0).as("cos"))
+      else {
+        val qv = s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") === 0L)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        // round BEFORE the top-k cut (like ann_cosine_top10): the oracle's
+        // ORDER BY binds to the rounded alias, so cutting on raw cos would
+        // pick different rows on a rank-10/11 tie that rounding collapses
+        graft.ops.IvfIndex.queryCandidates(s, idx, cents, qv, nprobe = 4)
+          .select(col("vec_id"), col("label"), col("centroid").cast("int").as("centroid"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(10)
+      }
     }),
 
     // ---- dataset assembly: deterministic split / sample / sequence packing ----

@@ -37,7 +37,8 @@ object Curate {
       stages.indices.map(i => sum(when(col(s"_s$i"), 1L).otherwise(0L)).as(s"_k$i"))
     val row = flagged.select(surv: _*).agg(sums.head, sums.tail: _*).collect()(0)
     val total = row.getLong(0)
-    val kept = stages.indices.map(i => row.getLong(i + 1))
+    // empty corpus: count = 0 but sum() over zero rows is SQL NULL
+    val kept = stages.indices.map(i => if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
     stages.zipWithIndex.map { case ((name, _), i) =>
       val nIn = if (i == 0) total else kept(i - 1)
       (i, name, nIn, kept(i))

@@ -106,6 +106,11 @@ object Dedup {
   /** Floor for the all-pairs block count (pair-groups = B*(B+1)/2). */
   private[graft] val DefaultPairBlocks = 16
 
+  // single-slot registry of the last verify's persisted candidate frame —
+  // see verifyCandidatePairsOf's eviction note
+  private val lastPersistedCand =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** Per-task buffer budget for the pair kernels, in rows: each pair-group
     * task holds ONE block in memory (the other side streams), so the task
     * heap is bounded by TargetRowsPerBlock rows regardless of corpus size. */
@@ -331,6 +336,12 @@ object Dedup {
     val spark = groups.sparkSession
     import spark.implicits._
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bound the cache footprint across a long-lived session (a resident
+    // StreamDedup query runs one verify per micro-batch): evict the PREVIOUS
+    // verify's candidate cache when a new one starts. An in-flight older
+    // query that still references its frame just recomputes it — the
+    // candidate plans are deterministic, so the result is unchanged.
+    Option(lastPersistedCand.getAndSet(cand)).foreach(_.unpersist(blocking = false))
     val B = blocks.getOrElse(routingBlocksFor(cand.count()))
     require(B >= 1 && B <= MaxPairBlocks, s"routing blocks out of range: $B")
     def pidOf(sa: Long, sb: Long): Int = {

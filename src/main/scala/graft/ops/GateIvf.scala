@@ -8,24 +8,43 @@ import org.apache.spark.sql.SparkSession
   * persisted quantizer the way a library user would, instead of re-running
   * the coarse-quantizer assignment per query (the build cost itself is
   * benchmarked separately: OpsScale's ivf_build member). Disk layout is
-  * reused across JVMs when the row count still matches. */
+  * reused across JVMs only when BOTH the row count and the version stamp
+  * match — /tmp indexes outlive code versions, and a quantizer-seeding or
+  * layout change must rebuild, not silently serve stale lists (the same
+  * reason GateIndex checks its buildId prefix). */
 object GateIvf {
+
+  /** Bump on ANY change to IVF seeding, assignment, or layout. */
+  private val Version = 2
+
   private val cache = new ConcurrentHashMap[String, (String, Array[(Int, Array[Float])])]()
 
   def index(spark: SparkSession, sfDir: String, k: Int): (String, Array[(Int, Array[Float])]) =
     cache.computeIfAbsent(s"$sfDir#$k", { _ =>
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = emb.count()
       val safe = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
       val dir = s"/tmp/graft-gate-ivf/$safe-k$k"
-      val fresh = try {
-        spark.read.parquet(dir).count() == emb.count() &&
-          IvfIndex.loadCentroids(spark, dir).nonEmpty
-      } catch { case _: Throwable => false }
-      if (fresh) (dir, IvfIndex.loadCentroids(spark, dir))
+      if (n == 0L) (dir, Array.empty[(Int, Array[Float])]) // empty corpus
       else {
-        graft.FsUtil.deleteRecursively(new java.io.File(dir))
-        graft.FsUtil.deleteRecursively(new java.io.File(s"$dir-centroids"))
-        (dir, IvfIndex.build(spark, emb, dir, k))
+        val stampFile = new java.io.File(s"$dir-stamp")
+        val stamp = s"gateivf-v$Version-k$k-n$n"
+        val fresh = try {
+          stampFile.exists() &&
+            new String(java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") == stamp &&
+            spark.read.parquet(dir).count() == n &&
+            IvfIndex.loadCentroids(spark, dir).nonEmpty
+        } catch { case _: Throwable => false }
+        if (fresh) (dir, IvfIndex.loadCentroids(spark, dir))
+        else {
+          graft.FsUtil.deleteRecursively(new java.io.File(dir))
+          graft.FsUtil.deleteRecursively(new java.io.File(s"$dir-centroids"))
+          stampFile.delete()
+          val cents = IvfIndex.build(spark, emb, dir, k)
+          java.nio.file.Files.createDirectories(stampFile.toPath.getParent)
+          java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
+          (dir, cents)
+        }
       }
     })
 }

@@ -78,7 +78,11 @@ object Multimodal {
       while (i + 3 < b.length) {
         if ((b(i) & 0xff) != 0xff) return ("jpeg", 0, 0, 0) // corrupt stream
         val marker = b(i + 1) & 0xff
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        if (marker == 0xff) {
+          i += 1 // 0xFF fill/padding byte before the real marker (spec-legal)
+        } else if (marker == 0xd9) {
+          return ("jpeg", 0, 0, 0) // EOI before any SOF: no dimensions
+        } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
           i += 2 // standalone marker, no length field
         } else if (marker >= 0xc0 && marker <= 0xcf &&
                    marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

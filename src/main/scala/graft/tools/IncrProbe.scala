@@ -15,13 +15,8 @@ object IncrProbe {
     val spark = graft.Sessions.local(32, "incr-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val vocab = math.max(20000L, n / 10)
-    def gen(lo: Long, hi: Long) = spark.range(lo, hi, 1, 64)
-      .select(col("id").as("doc_id"),
-        when(col("id") % 20 < 2, col("id").bitwiseAND(lit(-2L))).otherwise(col("id")).as("seed"))
-      .select(col("doc_id"), concat_ws(" ",
-        (0 until 40).map(i => concat(lit("w"),
-          pmod(hash(col("seed") * 40 + i), lit(vocab)))): _*).as("text"))
+    val vocab = SynthCorpus.heapsVocab(n)
+    def gen(lo: Long, hi: Long) = SynthCorpus.docs(spark, lo, hi, vocab)
 
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val a = f

@@ -17,22 +17,10 @@ object OpsScale {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // deterministic text: ~40 words drawn from a vocabulary that GROWS with
-    // the corpus (V = n/10, Heaps-ish — real corpora add vocabulary as they
-    // grow), so per-token df stays ~400 at every n: the regime the
-    // sub-quadratic members are designed for. (A vocabulary FIXED while n
-    // grows makes df ~ n and prefix-filter candidates ~ n² — the documented
-    // degenerate case, measured separately by PrefixProbe.) At the
-    // historical n=200k, V = 20k — identical corpus to the round-3 record.
-    // Docs where id % 20 < 2 share their text with their pair partner
-    // (seed = id with the low bit cleared) -> ~n/20 duplicate pairs.
-    val vocab = math.max(20000L, n / 10)
-    val docs = spark.range(0, n, 1, 64)
-      .select(col("id").as("doc_id"),
-        when(col("id") % 20 < 2, col("id").bitwiseAND(lit(-2L))).otherwise(col("id")).as("seed"))
-      .select(col("doc_id"), concat_ws(" ",
-        (0 until 40).map(i => concat(lit("w"),
-          pmod(hash(col("seed") * 40 + i), lit(vocab)))): _*).as("text"))
+    // shared deterministic corpus (SynthCorpus scaladoc): Heaps-ish vocab
+    // keeps per-token df ~400 at every n; at the historical n=200k it is
+    // byte-identical to the round-3 record's corpus
+    val docs = SynthCorpus.docs(spark, 0, n, SynthCorpus.heapsVocab(n))
 
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val rows = f
@@ -79,20 +67,24 @@ object OpsScale {
       }
       probeIds.size.toLong
     }
-    val allVecs = vecs.select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // exact reference top-10 computed DISTRIBUTED per probe (collecting all
+    // n embeddings to the driver is O(n) driver heap — this tool is exactly
+    // the one run at large n)
     val recallSum = probeIds.map { qid =>
-      val qv = probeVecs(qid)
-      val exact = allVecs.iterator.filter(_._1 != qid)
-        .map { case (id, v) =>
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
-          while (j < v.length) {
-            dot += v(j).toDouble * qv(j).toDouble
-            na += v(j).toDouble * v(j); nb += qv(j).toDouble * qv(j); j += 1
-          }
-          (id, dot / (math.sqrt(na) * math.sqrt(nb)))
+      val qB = spark.sparkContext.broadcast(probeVecs(qid))
+      val cosU = udf { emb: Seq[Float] =>
+        val q = qB.value
+        var dot = 0.0; var na = 0.0; var j = 0
+        while (j < q.length) {
+          val x = emb(j).toDouble
+          dot += x * q(j).toDouble; na += x * x; j += 1
         }
-        .toArray.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        dot / math.sqrt(na) // query norm constant per probe: rank-invariant
+      }
+      val exact = vecs.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), cosU(col("embedding")).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
       (approxSets(qid) intersect exact).size / 10.0
     }.sum
     println(f"[opsscale] ivf_recall@10        mean=${recallSum / probeIds.size}%.2f (nprobe=8/512)")

@@ -12,12 +12,10 @@ object PrefixProbe {
     val spark = graft.Sessions.local(32, "prefix-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = spark.range(0, n, 1, 64)
-      .select(col("id").as("doc_id"),
-        when(col("id") % 20 < 2, col("id").bitwiseAND(lit(-2L))).otherwise(col("id")).as("seed"))
-      .select(col("doc_id"), concat_ws(" ",
-        (0 until 40).map(i => concat(lit("w"),
-          pmod(hash(col("seed") * 40 + i), lit(20000)))): _*).as("text"))
+    // FIXED 20k vocabulary on purpose: df grows with n — prefix filtering's
+    // documented degenerate regime, which this probe exists to measure
+    // (OpsScale uses the Heaps-ish df-constant variant)
+    val docs = SynthCorpus.docs(spark, 0, n, vocab = 20000L)
 
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val a = f

@@ -48,6 +48,17 @@ class MultimodalSpec extends SparkFunSuite {
     assert(frames == 3, s"counted $frames frames")
   }
 
+  test("JPEG 0xFF fill bytes between segments are skipped (spec-legal padding)") {
+    val bytes = encode("jpg", 33, 21)
+    // insert a padding 0xFF right after SOI — encoders may pad markers
+    val padded = bytes.take(2) ++ Array(0xff.toByte) ++ bytes.drop(2)
+    val (fmt, w, h, _) = Multimodal.parseImageHeader(padded)
+    assert(fmt == "jpeg" && w == 33 && h == 21, s"got $fmt $w x $h")
+    // truncated-after-EOI stream: SOI + EOI only -> jpeg with no dims, no throw
+    assert(Multimodal.parseImageHeader(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) ==
+      ("jpeg", 0, 0, 0))
+  }
+
   test("unknown bytes fall through safely") {
     assert(Multimodal.parseImageHeader(Array[Byte]()) == ("unknown", 0, 0, 0))
     assert(Multimodal.parseImageHeader("not an image at all".getBytes) == ("unknown", 0, 0, 0))
