@@ -315,6 +315,18 @@ object SparkEntry {
         "min_tokens" -> (size(Dedup.toks(col("text"))) >= 10)))
     }),
 
+    "text_redact" -> ((s, dir) => {
+      // deterministic PII suffix (by doc_id % 3) so the oracle reproduces
+      // both the redacted text and the per-category counts literally
+      TextOps.redact(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(col("text"),
+          element_at(array(
+            lit(" contact alice@example.com or 10.0.0.1"),
+            lit(" ref 9876543210 bob.smith@test.org"),
+            lit(" no pii appended here")),
+            (col("doc_id") % 3).cast("int") + 1)).as("text")))
+    }),
+
     // ---- text analysis ----
     "text_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(s"$dir/documents.parquet"))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(s.read.parquet(s"$dir/documents.parquet"))),
@@ -831,6 +843,26 @@ object SparkEntry {
         |  WHERE a.cid IN (SELECT cid FROM probes))
         |SELECT vec_id, label, centroid, round(cos, 6) AS cos
         |FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the regex strings interpolate from TextOps.RedactPatterns, so both
+    // engines apply byte-identical patterns; counts taken after the prior
+    // category's replacement, exactly like the operator
+    "text_redact" -> {
+      val Seq((_, ePat, eRep), (_, iPat, iRep), (_, nPat, nRep)) = TextOps.RedactPatterns
+      s"""WITH r0 AS (
+         |  SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN ' contact alice@example.com or 10.0.0.1'
+         |    WHEN 1 THEN ' ref 9876543210 bob.smith@test.org'
+         |    ELSE ' no pii appended here' END AS t0
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t0, '$ePat')) AS INT) AS n_email,
+         |              regexp_replace(t0, '$ePat', '$eRep', 'g') AS t1 FROM r0),
+         |r2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t1, '$iPat')) AS INT) AS n_ip,
+         |              regexp_replace(t1, '$iPat', '$iRep', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(t2, '$nPat')) AS INT) AS n_num,
+         |              regexp_replace(t2, '$nPat', '$nRep', 'g') AS t3 FROM r2)
+         |SELECT doc_id, t3 AS text_red, n_email, n_ip, n_num FROM r3 ORDER BY doc_id""".stripMargin
+    },
 
     "text_token_counts" ->
       """SELECT doc_id,

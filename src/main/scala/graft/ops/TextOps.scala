@@ -133,6 +133,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII-style redaction patterns, applied IN ORDER (emails first so an
+    * address-embedded IP or digit run is not double-counted; counts for
+    * pattern i are taken AFTER replacing patterns < i). Chosen to be
+    * RE2/Java-regex compatible so the DuckDB oracle applies the identical
+    * expressions. */
+  val RedactPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("num", "\\d{9,}", "<NUM>"))
+
+  /** Redact PII-style spans from a text column: emails, IPv4s, long digit
+    * runs (phone/ID-shaped) replaced with typed sentinels, with per-category
+    * match counts — the standard pre-training scrub stage. Entirely
+    * codegen'd regexp built-ins (one narrow pass, no shuffle). Input needs
+    * (doc_id, text); output (doc_id, text_red, n_email, n_ip, n_num). */
+  def redact(documents: DataFrame): DataFrame = {
+    val start = documents.select(col("doc_id"), col("text").as("t"))
+    val out = RedactPatterns.foldLeft(start) { case (df, (name, pat, repl)) =>
+      df.withColumn(s"n_$name", size(regexp_extract_all(col("t"), lit(pat), lit(0))))
+        .withColumn("t", regexp_replace(col("t"), pat, repl))
+    }
+    out.select(col("doc_id") +: col("t").as("text_red") +:
+        RedactPatterns.map { case (name, _, _) => col(s"n_$name") }: _*)
+      .orderBy("doc_id")
+  }
+
   /** Contiguous sequence packing — the concatenate-and-chunk shape that
     * fills fixed-length LM training windows: documents in doc_id order form
     * one token stream; each doc's `start` is the exclusive prefix sum of

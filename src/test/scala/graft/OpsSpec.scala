@@ -350,6 +350,25 @@ class OpsSpec extends SparkFunSuite {
     assert(Curate(docs, stages).count() == f(2)._4)
   }
 
+  test("redact: typed sentinels, ordered counting, clean text untouched") {
+    val d = Seq(
+      (1L, "mail me at a.b+c@test-x.org thanks"),
+      (2L, "server 192.168.1.254 then call 08001234567"),
+      (3L, "email with host ip user@10.0.0.1 trailing"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "short 12345678 is kept, 123456789 is not"))
+      .toDF("doc_id", "text")
+    val got = TextOps.redact(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got(0) == ((1L, "mail me at <EMAIL> thanks", 1, 0, 0)))
+    assert(got(1) == ((2L, "server <IP> then call <NUM>", 0, 1, 1)))
+    // an @ with an IP host is NOT an email by the pattern (no alphabetic
+    // TLD) — the IP inside it is what gets redacted
+    assert(got(2) == ((3L, "email with host ip user@<IP> trailing", 0, 1, 0)))
+    assert(got(3) == ((4L, "nothing sensitive here at all", 0, 0, 0)))
+    assert(got(4) == ((5L, "short 12345678 is kept, <NUM> is not", 0, 0, 1)))
+  }
+
   test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
     val t = Transcripts.fromDocuments(spark, sf)
     val sorted = t.select("doc_id", "conv_id", "turn_idx").collect()
