@@ -64,15 +64,20 @@ object Bench {
     // MIN-of-reps per leg, both legs (see LegResult scaladoc: host CPU steal
     // is one-sided noise — it only inflates — so min estimates each leg's
     // uncontended time; median was tried in round 3 and still passed a
-    // majority-contaminated 4c leg through). All reps + the medians + the
-    // leg's actual Cpus_allowed go into the JSON so outliers and binding
-    // failures are visible in the record itself. The 4c leg gets 5 reps —
-    // it is ~3x cheaper per rep and was the noisier leg in round 3.
+    // majority-contaminated 4c leg through). Round 5: reps are INTERLEAVED
+    // (low,high,low,high,…) between two live leg JVMs on disjoint cpusets —
+    // sequential whole-legs ran ~10 min apart and a host-regime shift
+    // between them skewed min-per-leg (round-4 driver record 0.751 vs three
+    // same-code quiet measurements 0.85x); back-to-back pairs make both
+    // legs sample the same regime. All reps (aligned by pair) + medians +
+    // per-leg Cpus_allowed go into the JSON so outliers and binding
+    // failures are visible in the record itself.
     val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_SCALE_TURNS", "600000").toLong
+    val scalePairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "4").toInt
     val lowCpus = 1
     val highCpus = 4
     val (legLow, legHigh, eff) =
-      graft.tools.ScalingFork.measure(scaleTurns, lowCpus, highCpus, lowReps = 3, highReps = 5)
+      graft.tools.ScalingFork.measureInterleaved(scaleTurns, lowCpus, highCpus, scalePairs)
     val secLow = legLow.best
     val secHigh = legHigh.best
     val thrLow = scaleTurns / secLow
@@ -170,7 +175,7 @@ object Bench {
     sb.append(s""","sf":"$sfDir"""")
     sb.append(s""","index_build":{"turns":$benchTurns,"sec":${f"$buildSec%.2f"},"reps":${ja(buildReps)},"aggregation":"min_of_3","turns_per_sec":${f"${benchTurns / buildSec}%.0f"},"index_bytes":$indexBytes,"docstore_bytes":$docstoreBytes,"postings":$totalPostings,"bytes_per_posting":${f"${indexBytes.toDouble / math.max(1L, totalPostings)}%.2f"}}""")
     sb.append(s""","query_latency":{"p50_ms":${f"${pct(0.5) * 1000}%.1f"},"p99_ms":${f"${pct(0.99) * 1000}%.1f"},"per_query_ms":${jm(perQ.map { case (k, v) => k -> v * 1000 })}}""")
-    sb.append(s""","scaling":{"turns":$scaleTurns,"cpus_low":$lowCpus,"cpus_high":$highCpus,"sec_low":${f"$secLow%.2f"},"sec_high":${f"$secHigh%.2f"},"sec_low_median":${f"${legLow.median}%.2f"},"sec_high_median":${f"${legHigh.median}%.2f"},"reps_low":${ja(legLow.reps)},"reps_high":${ja(legHigh.reps)},"cpus_allowed_low":"${legLow.cpusAllowed}","cpus_allowed_high":"${legHigh.cpusAllowed}","bound":${legLow.bound && legHigh.bound},"aggregation":"min_per_leg_uncontended","thr_low":${f"$thrLow%.0f"},"thr_high":${f"$thrHigh%.0f"},"efficiency":${f"$eff%.3f"}}""")
+    sb.append(s""","scaling":{"turns":$scaleTurns,"cpus_low":$lowCpus,"cpus_high":$highCpus,"sec_low":${f"$secLow%.2f"},"sec_high":${f"$secHigh%.2f"},"sec_low_median":${f"${legLow.median}%.2f"},"sec_high_median":${f"${legHigh.median}%.2f"},"reps_low":${ja(legLow.reps)},"reps_high":${ja(legHigh.reps)},"cpus_allowed_low":"${legLow.cpusAllowed}","cpus_allowed_high":"${legHigh.cpusAllowed}","bound":${legLow.bound && legHigh.bound},"aggregation":"min_per_leg_uncontended","protocol":"interleaved_pairs","pair_eff":${ja(legLow.reps.zip(legHigh.reps).map { case (tl, th) => (tl / th) / (highCpus.toDouble / lowCpus) })},"thr_low":${f"$thrLow%.0f"},"thr_high":${f"$thrHigh%.0f"},"efficiency":${f"$eff%.3f"}}""")
     sb.append("}")
     println(sb.toString)
   }

@@ -44,8 +44,14 @@ object ScalingFork {
     * gets (cgroup cpuset). Without binding, the 1-core leg's JVM services
     * run on the host's idle cores for free and deflate measured scaling —
     * so an unbound fallback WARNS LOUDLY and is recorded (bound=false in
-    * the leg result and the bench JSON) instead of silently degrading. */
-  private def affinity(cpus: Int): (Seq[String], Boolean) = {
+    * the leg result and the bench JSON) instead of silently degrading.
+    *
+    * `offset` is the first core of the cpuset; the interleaved protocol
+    * keeps BOTH leg JVMs alive at once, so the two legs must get DISJOINT
+    * cpusets (the idle leg blocks in a native stdin read and costs ~nothing,
+    * but sharing a core would still serialize GC/daemon wakeups into the
+    * active leg's budget). */
+  private def affinity(cpus: Int, offset: Int): (Seq[String], Boolean) = {
     val taskset = new java.io.File("/usr/bin/taskset")
     val online = Runtime.getRuntime.availableProcessors
     if (!taskset.canExecute) {
@@ -53,60 +59,103 @@ object ScalingFork {
         "unbound small legs overstate their throughput and deflate efficiency (BASELINE.md protocol)")
       return (Seq.empty, false)
     }
-    // preferred offset 8: keep off core 0 (interrupt-heavy on VMs); fall
-    // back to offset 0 on small hosts, unbound (loudly) if cpus > online
-    val offset =
-      if (8 + cpus <= online) 8
-      else if (cpus <= online) 0
-      else {
-        System.err.println(s"[scaling] WARNING: host has $online cores < requested $cpus — leg runs UNBOUND")
-        return (Seq.empty, false)
-      }
+    if (offset + cpus > online) {
+      System.err.println(s"[scaling] WARNING: host has $online cores < requested $offset+$cpus — leg runs UNBOUND")
+      return (Seq.empty, false)
+    }
     (Seq(taskset.getAbsolutePath, "-c", s"$offset-${offset + cpus - 1}"), true)
   }
 
-  /** Run one leg in a fresh JVM bound to `cpus` cores; `reps` post-warmup
-    * builds, every rep's wall time in the result. */
-  def runLeg(cpus: Int, turns: Long, reps: Int): LegResult = {
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val (prefix, bound) = affinity(cpus)
-    val cmd = prefix ++
-      Seq(javaBin, s"-XX:ActiveProcessorCount=$cpus") ++ inheritedJvmArgs ++
-      Seq("-cp", cp, "graft.tools.ScalingLeg", cpus.toString, turns.toString, reps.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
-    val proc = pb.start()
-    // drain stderr CONCURRENTLY: a leg JVM can write >64 KB of Spark startup
-    // WARN/INFO to stderr; reading stdout to EOF first would deadlock both
-    // processes on the full stderr pipe
-    val errBuf = new java.io.ByteArrayOutputStream()
-    val drainer = new Thread(() => try proc.getErrorStream.transferTo(errBuf) catch { case _: Throwable => })
-    drainer.setDaemon(true)
-    drainer.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val rc = proc.waitFor()
-    drainer.join(5000)
-    val err = errBuf.toString("UTF-8")
-    val repsParsed = "LEGREPS=([0-9.,]+)".r.findFirstMatchIn(out)
-      .map(_.group(1).split(',').map(_.toDouble).toSeq)
-    val cpusAllowed = "LEGCPUS=([^\r\n]+)".r.findFirstMatchIn(out)
-      .map(_.group(1).trim).getOrElse("unknown")
-    repsParsed match {
-      case Some(ts) if ts.nonEmpty => LegResult(cpus, ts, cpusAllowed, bound)
-      case _ =>
+  /** Disjoint cpuset start offsets for the two legs. Preferred base 8 keeps
+    * both legs off core 0 (interrupt-heavy on VMs); small hosts fall back to
+    * base 0. Low leg first, high leg packed right after it. */
+  private def planOffsets(lowCpus: Int, highCpus: Int): (Int, Int) = {
+    val online = Runtime.getRuntime.availableProcessors
+    if (8 + lowCpus + highCpus <= online) (8, 8 + lowCpus)
+    else (0, lowCpus) // affinity() warns+unbinds if even this overflows
+  }
+
+  /** A live interactive leg JVM (ScalingLeg --interactive): warmed up, bound
+    * to its own cpuset, waiting on stdin for one-rep GO commands. */
+  private final class LegProc(val cpus: Int, turns: Long, offset: Int) {
+    private val errBuf = new java.io.ByteArrayOutputStream()
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var cpusAllowed: String = "unknown"
+    private val (affinityPrefix, boundFlag) = affinity(cpus, offset)
+    val bound: Boolean = boundFlag
+    private val proc: Process = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val cmd = affinityPrefix ++
+        Seq(javaBin, s"-XX:ActiveProcessorCount=$cpus") ++ inheritedJvmArgs ++
+        Seq("-cp", cp, "graft.tools.ScalingLeg", cpus.toString, turns.toString, "0", "--interactive")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      pb.start()
+    }
+    // drain stderr CONCURRENTLY: a leg JVM writes >64 KB of Spark WARN/INFO
+    // to stderr; blocking on stdout with a full stderr pipe deadlocks both
+    locally {
+      val drainer = new Thread(() => try proc.getErrorStream.transferTo(errBuf) catch { case _: Throwable => })
+      drainer.setDaemon(true)
+      drainer.start()
+    }
+    private val out = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+    private val in = new java.io.PrintWriter(new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"), true)
+
+    /** Read stdout lines until one starts with `prefix`; fail loudly on EOF. */
+    private def await(prefix: String): String = {
+      var line = out.readLine()
+      while (line != null && !line.startsWith(prefix)) line = out.readLine()
+      if (line == null)
         throw new IllegalStateException(
-          s"scaling leg (cpus=$cpus) failed rc=$rc\nstdout:\n$out\nstderr tail:\n${err.takeRight(2000)}")
+          s"scaling leg (cpus=$cpus) died awaiting $prefix rc=${if (proc.isAlive) "alive" else proc.exitValue()}\n" +
+            s"stderr tail:\n${errBuf.toString("UTF-8").takeRight(2000)}")
+      line.substring(prefix.length)
+    }
+    def awaitReady(): Unit = await("LEGREADY")
+    /** Run exactly one measured rep and record it. */
+    def rep(): Double = {
+      in.println("GO")
+      val t = await("LEGREP=").toDouble
+      reps += t
+      t
+    }
+    def finish(): LegResult = {
+      in.println("DONE")
+      cpusAllowed = await("LEGCPUS=").trim
+      proc.waitFor()
+      LegResult(cpus, reps.toSeq, cpusAllowed, bound)
     }
   }
 
-  /** (low, high, efficiency) for the N vs 4N protocol — efficiency from the
-    * per-leg MIN reps (uncontended-time estimator; see LegResult). */
-  def measure(turns: Long, lowCpus: Int, highCpus: Int,
-              lowReps: Int, highReps: Int): (LegResult, LegResult, Double) = {
-    val low = runLeg(lowCpus, turns, lowReps)
-    val high = runLeg(highCpus, turns, highReps)
-    val eff = (low.best / high.best) / (highCpus.toDouble / lowCpus)
-    (low, high, eff)
+  /** Interleaved N-vs-4N measurement (round-5 protocol): both leg JVMs are
+    * started on DISJOINT cpusets and warm up concurrently; then `pairs`
+    * rounds of (one low rep, one high rep) run strictly back-to-back, so
+    * both legs sample the same host-speed regime. Sequential whole-legs
+    * (round ≤4) ran ~10 min apart; a host-regime shift between the legs
+    * produced a 0.751 driver record against three same-code quiet-window
+    * measurements of 0.85x — min-per-leg cannot correct a shift that spans
+    * an entire leg. Efficiency is still min-per-leg over all reps (host
+    * steal is one-sided; see LegResult), and the per-pair ratios are in the
+    * record via the aligned reps arrays. */
+  def measureInterleaved(turns: Long, lowCpus: Int, highCpus: Int,
+                         pairs: Int): (LegResult, LegResult, Double) = {
+    val (loOff, hiOff) = planOffsets(lowCpus, highCpus)
+    val lo = new LegProc(lowCpus, turns, loOff)
+    val hi = new LegProc(highCpus, turns, hiOff)
+    lo.awaitReady(); hi.awaitReady()
+    var i = 0
+    while (i < pairs) {
+      val tl = lo.rep()
+      val th = hi.rep()
+      System.err.println(f"[scaling] pair ${i + 1}/$pairs: ${lowCpus}c=$tl%.1fs ${highCpus}c=$th%.1fs " +
+        f"ratio=${(tl / th) / (highCpus.toDouble / lowCpus)}%.3f")
+      i += 1
+    }
+    val legLow = lo.finish()
+    val legHigh = hi.finish()
+    val eff = (legLow.best / legHigh.best) / (highCpus.toDouble / lowCpus)
+    (legLow, legHigh, eff)
   }
 }

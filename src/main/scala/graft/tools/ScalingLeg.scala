@@ -41,12 +41,35 @@ object ScalingLeg {
     val cpus = args(0).toInt
     val turns = args(1).toLong
     val reps = args(2).toInt
+    val interactive = args.length > 3 && args(3) == "--interactive"
     val s = graft.Sessions.local(cpus, s"scaling-leg-$cpus")
     s.sparkContext.setLogLevel("ERROR")
     buildOnce(s, 50000L, s"/tmp/graft-scale-warm-$cpus") // JIT/codegen warmup
-    val times = (1 to reps).map(_ => buildOnce(s, turns, s"/tmp/graft-scale-idx-$cpus"))
+    val times =
+      if (!interactive) (1 to reps).map(_ => buildOnce(s, turns, s"/tmp/graft-scale-idx-$cpus"))
+      else {
+        // Interleaved protocol (round 5): the parent alternates single reps
+        // between the two leg JVMs (low,high,low,high,…) so both legs sample
+        // the SAME host-speed regime — sequential whole-legs ran ~10 min
+        // apart and a regime shift between them skewed min-per-leg (driver
+        // record 0.751 vs three same-code quiet measurements 0.85x). Here we
+        // block on stdin between reps; the peer leg runs on a DISJOINT
+        // cpuset, so the idle wait (native read) costs it nothing.
+        println("LEGREADY"); Console.flush()
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var line = in.readLine()
+        while (line != null && line.trim == "GO") {
+          val t = buildOnce(s, turns, s"/tmp/graft-scale-idx-$cpus")
+          buf += t
+          println(f"LEGREP=$t%.3f"); Console.flush()
+          line = in.readLine()
+        }
+        buf.toSeq
+      }
     s.stop()
     println(s"LEGCPUS=$cpusAllowed")
     println("LEGREPS=" + times.map(t => f"$t%.3f").mkString(","))
+    Console.flush()
   }
 }
