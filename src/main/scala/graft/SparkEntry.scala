@@ -251,6 +251,10 @@ object SparkEntry {
     // suffix (>= 400) are candidate-joined and verified
     "dedup_lsh_incr" -> ((s, dir) =>
       Dedup.minhashLshIncremental(s.read.parquet(s"$dir/documents.parquet"), 400L, 0.95)),
+    // keeper assignment: connected components over the LSH pair graph;
+    // every doc gets its component's min doc_id as keeper
+    "dedup_keepers" -> ((s, dir) =>
+      Dedup.keepers(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- similarity search ----
@@ -645,6 +649,40 @@ object SparkEntry {
          |      CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95
          |  AND cand.b >= 400
          |ORDER BY a, b""".stripMargin,
+
+    // keeper assignment: connected components over the dedup_minhash_lsh
+    // pair graph (same tok/band/verify SQL), components via a recursive
+    // reachability walk — lbl(v) = min vertex reachable from v
+    "dedup_keepers" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT DISTINCT doc_id, tt.term
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+         |  WHERE length(tt.term) BETWEEN 2 AND 40),
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
+         |mh AS (SELECT doc_id, $minhashCols FROM hh GROUP BY 1),
+         |bands AS ($bandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1),
+         |pairs AS (
+         |  SELECT cand.a, cand.b
+         |  FROM cand JOIN ts ta ON cand.a = ta.doc_id JOIN ts tb ON cand.b = tb.doc_id
+         |  WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+         |walk(v, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.v),
+         |comp AS (SELECT v, min(lbl) AS keeper FROM walk GROUP BY v),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.keeper, d.doc_id) AS keeper
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+         |sizes AS (SELECT keeper, count(*) AS n_members FROM assigned GROUP BY 1)
+         |SELECT a.doc_id, a.keeper, a.doc_id = a.keeper AS is_keeper, s.n_members
+         |FROM assigned a JOIN sizes s USING (keeper)
+         |ORDER BY doc_id""".stripMargin,
 
     // split/sample assignment is a pure function of doc_id via the same
     // md5-derived 28-bit hash the dedup family uses — both sides literal

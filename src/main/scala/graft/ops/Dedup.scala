@@ -669,6 +669,88 @@ object Dedup {
       .select(col("x.sid").as("sa"), col("y.sid").as("sb"))
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (columns a, b; a < b): returns (v, lbl) where lbl = MIN vertex id
+    * reachable from v — the deterministic component representative.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING
+    * (lbl := lbl(lbl) each round), so convergence is O(log diameter)
+    * joins instead of O(diameter) — near-dup clusters are usually
+    * star-shaped (tiny diameter) but a chain of pairwise-similar docs
+    * (a~b~c~… with a!~c) degrades plain propagation to its length; the
+    * jump keeps even that worst case logarithmic. Every step is a
+    * key-partitioned join/agg on vertex ids — no broadcast of the vertex
+    * set, no driver-side graph — so the shape survives a 100 TB pair
+    * graph; per-iteration lineage is cut with an eager localCheckpoint
+    * (the classic iterative-DataFrame plan-blowup fix). Deterministic:
+    * min-aggregations of vertex ids only. */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .unionAll(pairs.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= 64, s"components: not converged after $iters iterations")
+      // min label over neighbors (edges are symmetric, so one direction
+      // of the join covers both endpoints)
+      val nbr = edges.join(labels.select(col("v"), col("lbl").as("nlbl")), "v")
+        .groupBy("u").agg(min("nlbl").as("minNbr"))
+      val stepped = labels
+        .join(nbr.withColumnRenamed("u", "v"), Seq("v"), "left")
+        .select(col("v"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
+      // pointer jump: label values are themselves vertices, so shortcut
+      // one level of the label chain per round
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("v").as("lv"), col("lbl").as("llbl")),
+          col("s.lbl") === col("lv"), "left")
+        .select(col("s.v").as("v"), col("s.old").as("old"),
+          coalesce(col("llbl"), col("s.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("lbl") =!= col("old")).count()
+      labels = jumped.select(col("v"), col("lbl"))
+    }
+    edges.unpersist()
+    lastComponentsIters = iters
+    labels
+  }
+
+  /** Diagnostic only (OpsScale/spec): propagation rounds the last
+    * [[components]] call took to converge — evidence the pointer-jump
+    * keeps iteration count logarithmic at scale. */
+  @volatile private[graft] var lastComponentsIters: Int = 0
+
+  /** Near-dup KEEPER assignment — the end product of a dedup run: every
+    * document gets a `keeper` (the min doc_id of its near-dup connected
+    * component, singletons keep themselves — the same representative
+    * contract as [[exact]]), `is_keeper`, and the component size. The pair
+    * graph is whatever similarity member produced `pairs` (LSH, exact
+    * Jaccard, embedding…), so "drop the non-keepers" composes with any of
+    * them. Reference has no dedup; the shape is the standard
+    * MinHashLSH→connected-components pipeline. */
+  def keepersFromPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    val assigned = documents.select(col("doc_id"))
+      .join(comp.select(col("v").as("doc_id"), col("lbl").as("k0")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("k0"), col("doc_id")).as("keeper"))
+    val sizes = assigned.groupBy("keeper").agg(count(lit(1)).as("n_members"))
+    assigned.join(sizes, "keeper")
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("is_keeper"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Keeper assignment over the token-minhash-LSH pair graph at
+    * `threshold` — the one-call "which docs do I keep" operator. */
+  def keepers(documents: DataFrame, threshold: Double): DataFrame =
+    keepersFromPairs(documents, minhashLsh(documents, threshold))
+
   /** 32-bit SimHash per doc: bit b set when the tf-weighted sum of term hash
     * bits is positive. */
   def simhash(documents: DataFrame): DataFrame = {

@@ -33,6 +33,8 @@ object OpsScale {
     t("dedup_ngram_lsh")(Dedup.ngramMinhashLsh(docs, 3, 0.8).count())
     t("dedup_ngram_lsh_fast")(Dedup.ngramMinhashLshFast(docs, 3, 0.8).count())
     t("dedup_jaccard_prefix")(Dedup.jaccardPairsPrefix(docs, 0.95).count())
+    t("dedup_keepers")(Dedup.keepers(docs, 0.95).count())
+    println(s"[opsscale] keepers component iterations=${Dedup.lastComponentsIters}")
 
     // ---- IVF at scale: n vectors, k = 512 (≈ sqrt-n sizing), Lloyd x2 ----
     // 16 planted gaussian-ish clusters + per-vector jitter; the broadcast

@@ -49,6 +49,43 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("components == local union-find over the pair list; keepers contract") {
+    val pairs = Dedup.minhashLsh(docs, 0.95).select("a", "b")
+    val pairList = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference: classic union-find with path compression
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vertices = pairList.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = vertices.map(v => v -> find(v)).toMap
+    val got = Dedup.components(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+
+    // chain graph exercises the pointer-jump path (diameter = n-1)
+    val chain = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a", "b")
+    val chainComp = Dedup.components(chain).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(chainComp.length == 40 && chainComp.forall(_._2 == 0L))
+
+    // keepers: every doc assigned, keeper = component min, sizes consistent
+    val keep = Dedup.keepers(docs, 0.95).collect()
+    assert(keep.length == docs.count())
+    val byKeeper = keep.groupBy(_.getLong(1))
+    byKeeper.foreach { case (k, g) =>
+      assert(g.map(_.getLong(0)).min == k)
+      assert(g.count(_.getBoolean(2)) == 1)
+      assert(g.forall(_.getLong(3) == g.length))
+    }
+    // pair endpoints always share a keeper
+    val kmap = keep.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairList.foreach { case (a, b) => assert(kmap(a) == kmap(b)) }
+  }
+
   test("brute-force cosine top-k is ordered and self-consistent") {
     val top = Similarity.cosineTopK(spark, sf, 0, 10).collect()
     assert(top.length == 10)
