@@ -35,13 +35,15 @@ object StreamDedup {
   def start(spark: SparkSession, docsStream: DataFrame, corpusDir: String,
             pairsDir: String, checkpointDir: String,
             threshold: Double = 0.95,
-            drainAndStop: Boolean = false): StreamingQuery = {
+            drainAndStop: Boolean = false,
+            compactEvery: Int = 0): StreamingQuery = {
     val w = docsStream
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, corpusDir, pairsDir, threshold)
+        processBatch(spark, batch, batchId, corpusDir, pairsDir, threshold,
+          compactEvery)
       }
     // AvailableNow drains what already landed then stops (batch-style daily
     // runs); the default trigger keeps consuming (resident service / tests
@@ -58,11 +60,28 @@ object StreamDedup {
     * `<corpusDir>-sigstore`. */
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
                                   batchId: Long, corpusDir: String,
-                                  pairsDir: String, threshold: Double): Unit = {
+                                  pairsDir: String, threshold: Double,
+                                  compactEvery: Int = 0): Unit = {
     val storeDir = s"$corpusDir-sigstore"
     val rows = batch.select(col("doc_id"), col("text")).cache()
     val freshFrom = rows.agg(min("doc_id")).collect()(0)
     if (freshFrom.isNullAt(0)) { rows.unpersist(); return } // empty batch
+    // GUARD the epoch-ordered doc_id contract that makes freshFrom =
+    // min(batch doc_id) correct: a batch whose min falls at or below an
+    // earlier batch's max would silently mis-scope incremental pairs, so
+    // fail LOUDLY instead. One slim-column agg over the signature table,
+    // excluding this batch's own partition so a crash-replay (whose rows
+    // already landed) still passes.
+    val sigPath = s"$storeDir/signatures"
+    if (new java.io.File(sigPath).exists()) {
+      val prevMax = spark.read.parquet(sigPath)
+        .filter(col("batch_id") =!= lit(batchId))
+        .agg(max("doc_id")).collect()(0)
+      if (!prevMax.isNullAt(0))
+        require(freshFrom.getLong(0) > prevMax.getLong(0),
+          s"epoch-ordered doc_id contract violated: batch $batchId min " +
+            s"doc_id ${freshFrom.getLong(0)} <= store max ${prevMax.getLong(0)}")
+    }
     // idempotent appends: a replayed batch rewrites ITS batch_id partition
     rows.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -70,11 +89,16 @@ object StreamDedup {
       .partitionBy("batch_id").parquet(corpusDir)
     graft.ops.SignatureStore.append(spark, rows, storeDir, batchId)
     val pairs = graft.ops.SignatureStore.pairsTouchingFresh(
-      spark, storeDir, freshFrom.getLong(0), threshold)
+      spark, storeDir, freshFrom.getLong(0), threshold, batchId = Some(batchId))
     pairs.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(pairsDir)
     rows.unpersist()
+    // periodic compaction of the per-batch store partitions; upTo =
+    // batchId - 1 is replay-safe (foreachBatch serializes batches — only
+    // the in-flight batch can ever replay, and its partitions are untouched)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      graft.ops.SignatureStore.compact(spark, storeDir, batchId - 1)
   }
 }
