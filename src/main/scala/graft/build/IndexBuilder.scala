@@ -263,10 +263,49 @@ object IndexBuilder {
       .withColumn("bucket", bucketCol(col("term"), cfg.buckets))
       .withColumn("chunk", (col("docId") / cfg.chunkDocs).cast("long"))
 
-    val postingUdaf = udaf(PostingAgg)
-    val groupedRaw = occs.groupBy("field", "term", "bucket", "chunk")
-      .agg(postingUdaf(col("docId"), col("tf"), col("dl")).as("p"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Posting grouping (round 5): SORT-based by default. tf is pre-counted
+    // per doc, so the hash-aggregate's partial/final combine never reduces
+    // row count — it only repacks occurrence rows into Kryo-serialized
+    // PostingBuf runs (serde + GC for zero combining benefit). One Tungsten
+    // sort shuffle on the write-aligned keys plus a streaming run-length
+    // grouper produces identical groups from compact UnsafeRows; per-task
+    // memory is one (term, chunk) group ≤ chunkDocs rows either way.
+    // GRAFT_AGG=hash keeps the UDAF path selectable for A/B measurement.
+    val groupedRaw = (if (sys.env.getOrElse("GRAFT_AGG", "sort") == "hash") {
+      val postingUdaf = udaf(PostingAgg)
+      occs.groupBy("field", "term", "bucket", "chunk")
+        .agg(postingUdaf(col("docId"), col("tf"), col("dl")).as("p"))
+    } else {
+      val sortedOccs = occs
+        .select(col("field"), col("term"), col("bucket"), col("chunk"),
+          col("docId"), col("tf"), col("dl"))
+        .repartition(col("bucket"), col("chunk"))
+        .sortWithinPartitions("bucket", "chunk", "field", "term", "docId")
+        .as[(String, String, Int, Long, Long, Int, Int)]
+      sortedOccs.mapPartitions { it =>
+        new Iterator[(String, String, Int, Long, PostingsOut)] {
+          private var cur: (String, String, Int, Long, Long, Int, Int) = _
+          private var live = it.hasNext
+          if (live) cur = it.next()
+          def hasNext: Boolean = live
+          def next(): (String, String, Int, Long, PostingsOut) = {
+            val f = cur._1; val t = cur._2; val b = cur._3; val c = cur._4
+            val db = new scala.collection.mutable.ArrayBuilder.ofLong
+            val tb = new scala.collection.mutable.ArrayBuilder.ofInt
+            val lb = new scala.collection.mutable.ArrayBuilder.ofInt
+            var inGroup = true
+            while (inGroup) {
+              db += cur._5; tb += cur._6; lb += cur._7
+              if (it.hasNext) {
+                cur = it.next()
+                inGroup = cur._1 == f && cur._2 == t && cur._3 == b && cur._4 == c
+              } else { live = false; inGroup = false }
+            }
+            (f, t, b, c, PostingsOut(db.result(), tb.result(), lb.result()))
+          }
+        }
+      }.toDF("field", "term", "bucket", "chunk", "p")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // header stats: df (uv) + pv per term, reference header semantics
     // (InvertedIndexGenerateReducer.java:390-395). Derived from the chunk
