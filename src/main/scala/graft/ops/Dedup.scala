@@ -449,9 +449,25 @@ object Dedup {
     * aggregation is one hash-agg on doc_id. Shingles compare as STRINGS for
     * oracle parity — at 100 TB the xxhash64 fingerprint form halves the
     * shuffle (same shingleHashes machinery as the ngram members). */
-  def decontaminate(training: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
-    def shingleRows(df: DataFrame) = df
-      .select(col("doc_id"), explode(shingleStrings(n)(toks(col("text")))).as("sh"))
+  def decontaminate(training: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
+    decontaminateOn(training, benchmark,
+      df => df.select(col("doc_id"), explode(shingleStrings(n)(toks(col("text")))).as("sh")))
+
+  /** Fingerprinted decontamination — [[decontaminate]] with xxhash64
+    * shingle FINGERPRINTS in the join instead of shingle strings: exact up
+    * to 64-bit fingerprint collisions (same hash family and quantified
+    * odds as ngramJaccardPairs) at roughly half the shuffle/broadcast
+    * bytes — a 5-gram shingle string averages ~30 UTF-8 bytes, its
+    * fingerprint is 8. Not an oracle surface (DuckDB cannot reproduce
+    * xxhash64), so the GATE keeps the string form; OpsSpec asserts
+    * row-for-row output parity on the gate corpus and OpsScale carries the
+    * at-scale timing. */
+  def decontaminateFast(training: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
+    decontaminateOn(training, benchmark,
+      df => df.select(col("doc_id"), explode(shingleHashes(n)(toks(col("text")))).as("sh")))
+
+  private def decontaminateOn(training: DataFrame, benchmark: DataFrame,
+                              shingleRows: DataFrame => DataFrame): DataFrame = {
     val benchShingles = shingleRows(benchmark).select(col("sh")).distinct()
     val hits = shingleRows(training)
       .join(benchShingles, "sh")

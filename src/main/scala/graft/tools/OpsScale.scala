@@ -9,10 +9,14 @@ import graft.ops.Dedup
   * N²) and times exact / simhash / minhash-LSH / prefix-filter at 20-40x the
   * sf0.1 gate corpus. The quadratic members (jaccardPairs / ngram) are
   * intentionally absent — their cost is O(N²) by contract and their scale
-  * path IS the LSH/prefix pair. Args: [nDocs]. */
+  * path IS the LSH/prefix pair. Args: [nDocs] [onlySubstr,...] — the
+  * optional second arg runs just the members whose name contains one of
+  * the comma-separated substrings ("ivf" selects the IVF section). */
 object OpsScale {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.exists(name.contains))
     val spark = graft.Sessions.local(32, "ops-scale")
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -22,7 +26,7 @@ object OpsScale {
     // byte-identical to the round-3 record's corpus
     val docs = SynthCorpus.docs(spark, 0, n, SynthCorpus.heapsVocab(n))
 
-    def t(name: String)(f: => Long): Unit = {
+    def t(name: String)(f: => Long): Unit = if (wanted(name)) {
       val t0 = System.nanoTime(); val rows = f
       println(f"[opsscale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$rows")
     }
@@ -34,8 +38,16 @@ object OpsScale {
     t("dedup_ngram_lsh_fast")(Dedup.ngramMinhashLshFast(docs, 3, 0.8).count())
     t("dedup_jaccard_prefix")(Dedup.jaccardPairsPrefix(docs, 0.95).count())
     t("dedup_keepers")(Dedup.keepers(docs, 0.95).count())
-    println(s"[opsscale] keepers component iterations=${Dedup.lastComponentsIters}")
+    if (wanted("dedup_keepers"))
+      println(s"[opsscale] keepers component iterations=${Dedup.lastComponentsIters}")
+    // decontamination: n-doc training side vs a 10k-doc benchmark carved
+    // from the same corpus (planted overlap); fast = xxhash64 fingerprints
+    val bench = SynthCorpus.docs(spark, 0, 10000, SynthCorpus.heapsVocab(n))
+      .select((col("doc_id") + n).as("doc_id"), col("text"))
+    t("decontam_string")(Dedup.decontaminate(docs, bench, 5).count())
+    t("decontam_fast")(Dedup.decontaminateFast(docs, bench, 5).count())
 
+    if (!wanted("ivf")) { spark.stop(); return }
     // ---- IVF at scale: n vectors, k = 512 (≈ sqrt-n sizing), Lloyd x2 ----
     // 16 planted gaussian-ish clusters + per-vector jitter; the broadcast
     // kernel assigns n x k x dim distances, refine() runs two deterministic

@@ -86,6 +86,15 @@ class OpsSpec extends SparkFunSuite {
     pairList.foreach { case (a, b) => assert(kmap(a) == kmap(b)) }
   }
 
+  test("decontaminateFast == decontaminate (fingerprint vs string shingles)") {
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val s = Dedup.decontaminate(docs, bench, 3).collect().map(_.toSeq).toSeq
+    val f = Dedup.decontaminateFast(docs, bench, 3).collect().map(_.toSeq).toSeq
+    assert(s == f)
+    assert(s.exists(r => r(2) == true)) // the planted overlap is detected
+  }
+
   test("brute-force cosine top-k is ordered and self-consistent") {
     val top = Similarity.cosineTopK(spark, sf, 0, 10).collect()
     assert(top.length == 10)
