@@ -97,6 +97,22 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(Seq[(String, String)], Int), DataFrame]()
 
+  // prepared-plan cache for the SCORE-ALL shape (fetchFiltered's candidate
+  // scoring; k-independent), same validity argument and normsGen guard as
+  // planCache. Kept separate so topK's (terms, k) keyspace and this
+  // (terms)-keyed one cannot evict each other at their different rates.
+  private val scoreAllCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], DataFrame]()
+
+  // memoized matchCount RESULTS: the index is immutable per engine, so the
+  // AND-intersection count is a pure function of the term set — repeated
+  // pv/uv stats queries (as interactive as top-k; the reference fronts its
+  // stats multiget with memcached the same way) become a map hit instead of
+  // a kernel job. Values are longs — they pin no norms generation, so no
+  // normsGen interplay. Bounded like statsCache.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], java.lang.Long]()
+
   // one encoded norms LocalRelation per queried FIELD SET (not per query):
   // createDataset eagerly encodes the blobs into the plan's LocalRelation,
   // so without this every planCache entry would hold its own copy of the
@@ -245,7 +261,23 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     * pages always fill while scores stay exact. The docstore join is
     * planner-chosen (broadcast only when the hit set is actually small). */
   def fetchFiltered(q: SearchQuery, predicate: org.apache.spark.sql.Column): DataFrame = {
-    scoreAll(q)
+    // the scoring subtree is the expensive plan (chunk shuffle + norms
+    // injection) and is k- and predicate-independent — cache it; the
+    // per-call join/filter/limit on top is cheap to re-plan
+    val hit = scoreAllCache.get(q.terms)
+    val scored = if (hit != null) hit else {
+      val gen = normsGen.get()
+      val df = scoreAll(q)
+      cacheLock.synchronized {
+        if (normsGen.get() != gen) df
+        else {
+          if (scoreAllCache.size >= PlanCacheMaxEntries) scoreAllCache.clear()
+          val prev = scoreAllCache.putIfAbsent(q.terms, df)
+          if (prev != null) prev else df
+        }
+      }
+    }
+    scored
       .join(docstore, Seq("docId"))
       .filter(predicate)
       .orderBy(desc("score"), asc("docId"))
@@ -257,6 +289,8 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     * (a count-only kernel instead of candidates(q, MaxValue)). */
   def matchCount(q: SearchQuery): Long = {
     import spark.implicits._
+    val memo = countCache.get(q.terms)
+    if (memo != null) return memo.longValue()
     val ts = termStatsOf(q)
     if (q.terms.isEmpty || q.terms.exists(t => !ts.contains(t))) return 0L
     if (q.terms.size == 1) return ts(q.terms.head)._1 // df IS the count
@@ -270,7 +304,7 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
     val terms = q.terms.toArray
     val numChunks = math.max(1L, (manifest.numDocs + manifest.chunkDocs - 1) / manifest.chunkDocs)
     val p = math.min(numChunks, spark.sessionState.conf.numShufflePartitions.toLong).toInt
-    rows
+    val total = rows
       .repartition(p, col("chunk"))
       .sortWithinPartitions("chunk")
       .mapPartitions { it =>
@@ -288,6 +322,9 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
         }
       }
       .toDF("n").agg(sum("n")).collect()(0).getLong(0)
+    if (countCache.size >= StatsCacheMaxEntries) countCache.clear()
+    countCache.put(q.terms, total)
+    total
   }
 
   /** All docIds matching the AND conjunction, ascending (the reference's
@@ -350,7 +387,8 @@ class QueryEngine(val spark: SparkSession, val dir: String) extends Serializable
           // norms LocalRelations, so evicting one without the other frees
           // nothing and can retain multiple generations of the same copy
           if (normsDsCache.size >= NormsDsCacheMaxEntries) cacheLock.synchronized {
-            normsDsCache.clear(); planCache.clear(); normsGen.incrementAndGet()
+            normsDsCache.clear(); planCache.clear(); scoreAllCache.clear()
+            normsGen.incrementAndGet()
           }
           normsDsCache.computeIfAbsent(nkey, fs => // pure local encode, no job
             spark.createDataset(fs.flatMap(f => byField.getOrElse(f, Seq.empty)))

@@ -38,6 +38,20 @@ object LatProbe {
       println(f"[latprobe] $name%-18s build=${med(reps.map(_._1))}%6.1fms " +
         f"plan=${med(reps.map(_._2))}%6.1fms exec=${med(reps.map(_._3))}%6.1fms")
     }
+    // serving-path comparison with ALL caches warm: cached top-k (plan
+    // cache) vs the stats path (count memo) — the round-5 check that
+    // pv/uv stats serve at the same interactive floor as top-k
+    def med2(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    graft.Bench.QuerySet.foreach { case (name, q) =>
+      e.searchStats(q) // warm the count memo
+      val tk = (1 to 7).map { _ =>
+        val t0 = System.nanoTime(); e.topK(q).collect(); (System.nanoTime() - t0) / 1e6
+      }
+      val st = (1 to 7).map { _ =>
+        val t0 = System.nanoTime(); e.searchStats(q); (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[latprobe] warm $name%-13s topk=${med2(tk)}%6.1fms stats=${med2(st)}%6.2fms")
+    }
     spark.stop()
   }
 }

@@ -186,6 +186,20 @@ class EndToEndSpec extends SparkFunSuite {
     val unfiltered = Bm25Oracle.topK(oracle, q).map(_._1).toSet
     assert(got.exists(g => !unfiltered.contains(g._1)),
       "filtered page should reach past the unfiltered top-k (over-fetch works)")
+
+    // cache correctness (round 5): the scoring subtree is cached per term
+    // set — a SECOND call with a DIFFERENT predicate must not inherit the
+    // first predicate's filter, and repeat calls stay stable
+    val tools = engine.fetchFiltered(q, col("role") === "tool")
+      .select("role").collect().map(_.getString(0))
+    assert(tools.nonEmpty && tools.forall(_ == "tool"))
+    val again = engine.fetchFiltered(q, col("role") === "user")
+      .select("docId", "role", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+    // matchCount memo: repeat call returns the identical count
+    val q2 = SearchQuery.of(Seq("text" -> Seq("error", "timeout")), 10)
+    assert(engine.matchCount(q2) == engine.matchCount(q2))
   }
 
 }
