@@ -340,7 +340,8 @@ object SparkEntry {
     // ---- multimodal: real PNG generation -> binary column -> real header
     // decode (dims are a stated function of doc_id, so the oracle can
     // assert the decoded values literally) ----
-    "mm_meta" -> ((s, dir) => Multimodal.extractMeta(s, s.read.parquet(s"$dir/documents.parquet"))))
+    "mm_meta" -> ((s, dir) => Multimodal.extractMeta(s, s.read.parquet(s"$dir/documents.parquet"))),
+    "mm_av_meta" -> ((s, dir) => Multimodal.extractAvMeta(s, s.read.parquet(s"$dir/documents.parquet"))))
 
   /** Mixture-control rates for the ds_mix gate (lang strata; en is the
     * over-represented stratum being down-sampled). Thresholds interpolate
@@ -964,5 +965,18 @@ object SparkEntry {
         |  CAST(16 + doc_id % 17 AS INT) AS width,
         |  CAST(16 + doc_id % 23 AS INT) AS height,
         |  CAST(1 AS INT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Spark side builds a REAL PCM WAV (even doc_ids) or MP4 moov (odd)
+    // per doc and walks the RIFF chunks / ISO-BMFF boxes back; every field
+    // follows the generator's stated doc_id law (integer-exact durations)
+    "mm_av_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3) ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2 ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 29 ELSE 100 * (1 + doc_id % 50) END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 320 + 16 * (doc_id % 8) ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 240 + 16 * (doc_id % 5) ELSE 0 END AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -154,4 +154,194 @@ object Multimodal {
   def extractMeta(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeMeta(spark, withImageBlob(documents))
       .select(col("doc_id"), col("fmt"), col("width"), col("height"), col("frames"))
+
+  // ---- audio / video containers (WAV RIFF, MP4 ISO-BMFF) --------------
+
+  // gate A/V laws (shared by withAvBlob and the oracle): even doc_ids get a
+  // PCM WAV, odd ones an MP4 moov. All derived metadata is integer-exact:
+  // rates divide 1000, the mvhd timescale is 600 with duration a multiple
+  // of 60, so duration_ms round-trips through the container untouched.
+  private[graft] def wavRate(docId: Long): Int = 8000 * (1 + (docId % 3).toInt)
+  private[graft] def wavChannels(docId: Long): Int = 1 + ((docId % 4) / 2).toInt
+  private[graft] def wavDurationMs(docId: Long): Int = 1 + (docId % 29).toInt
+  private[graft] def mp4DurationMs(docId: Long): Int = 100 * (1 + (docId % 50).toInt)
+  private[graft] def mp4Width(docId: Long): Int = 320 + 16 * (docId % 8).toInt
+  private[graft] def mp4Height(docId: Long): Int = 240 + 16 * (docId % 5).toInt
+
+  private def le16w(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def le32w(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+  private def be32w(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write((v >> 24) & 0xff); o.write((v >> 16) & 0xff); o.write((v >> 8) & 0xff); o.write(v & 0xff)
+  }
+  private def tag(o: java.io.ByteArrayOutputStream, s: String): Unit =
+    o.write(s.getBytes("US-ASCII"))
+
+  /** Deterministic real PCM WAV bytes (RIFF/WAVE, fmt + data chunks,
+    * 16-bit samples f(doc_id, i)). */
+  private[graft] def wavBytes(docId: Long): Array[Byte] = {
+    val rate = wavRate(docId); val ch = wavChannels(docId)
+    val nsamples = rate * wavDurationMs(docId) / 1000
+    val blockAlign = ch * 2
+    val dataSize = nsamples * blockAlign
+    val o = new java.io.ByteArrayOutputStream(44 + dataSize)
+    tag(o, "RIFF"); le32w(o, 36 + dataSize); tag(o, "WAVE")
+    tag(o, "fmt "); le32w(o, 16)
+    le16w(o, 1); le16w(o, ch); le32w(o, rate); le32w(o, rate * blockAlign)
+    le16w(o, blockAlign); le16w(o, 16)
+    tag(o, "data"); le32w(o, dataSize)
+    var i = 0
+    while (i < nsamples * ch) {
+      le16w(o, ((docId * 31 + i * 7919) & 0xffff).toInt)
+      i += 1
+    }
+    o.toByteArray
+  }
+
+  /** Deterministic minimal MP4 (ISO BMFF): ftyp + moov(mvhd + trak(tkhd))
+    * + a token mdat. Box sizes are real; mvhd v0 carries timescale 600 and
+    * the law duration; tkhd v0 carries 16.16 fixed-point dimensions. */
+  private[graft] def mp4Bytes(docId: Long): Array[Byte] = {
+    val timescale = 600
+    val dur = mp4DurationMs(docId) * timescale / 1000
+    def box(typ: String)(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      body(b)
+      val o = new java.io.ByteArrayOutputStream(8 + b.size)
+      be32w(o, 8 + b.size); tag(o, typ); b.writeTo(o)
+      o.toByteArray
+    }
+    val mvhd = box("mvhd") { b =>
+      be32w(b, 0) // version 0 + flags
+      be32w(b, 0); be32w(b, 0) // ctime, mtime
+      be32w(b, timescale); be32w(b, dur)
+      be32w(b, 0x00010000); le16w(b, 0); le16w(b, 0) // rate 1.0, volume+rsvd
+      (0 until 2).foreach(_ => be32w(b, 0)) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(be32w(b, _))
+      (0 until 6).foreach(_ => be32w(b, 0)) // pre_defined
+      be32w(b, 2) // next track id
+    }
+    val tkhd = box("tkhd") { b =>
+      be32w(b, 7) // version 0, flags: enabled|in movie|in preview
+      be32w(b, 0); be32w(b, 0) // ctime, mtime
+      be32w(b, 1); be32w(b, 0) // track id, reserved
+      be32w(b, dur)
+      be32w(b, 0); be32w(b, 0) // reserved
+      le16w(b, 0); le16w(b, 0); le16w(b, 0); le16w(b, 0) // layer, alt, vol, rsvd
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(be32w(b, _))
+      be32w(b, mp4Width(docId) << 16); be32w(b, mp4Height(docId) << 16)
+    }
+    val trak = box("trak")(b => b.write(tkhd))
+    val moov = box("moov") { b => b.write(mvhd); b.write(trak) }
+    val ftyp = box("ftyp") { b => tag(b, "isom"); be32w(b, 512); tag(b, "isom"); tag(b, "mp41") }
+    val mdat = box("mdat")(b => be32w(b, (docId & 0xffffffffL).toInt))
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(ftyp); o.write(moov); o.write(mdat)
+    o.toByteArray
+  }
+
+  /** documents + a real A/V binary column: even doc_ids PCM WAV, odd MP4. */
+  def withAvBlob(documents: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => if (id % 2 == 0) wavBytes(id) else mp4Bytes(id))
+    documents.select(col("doc_id"), gen(col("doc_id")).as("media"),
+      when(col("doc_id") % 2 === 0, "audio/wav").otherwise("video/mp4").as("mime"))
+  }
+
+  final case class AvMeta(doc_id: Long, fmt: String, sample_rate: Int,
+                          channels: Int, duration_ms: Long, width: Int,
+                          height: Int, n_bytes: Int)
+
+  /** (fmt, sampleRate, channels, durationMs, width, height) from real WAV
+    * RIFF-chunk / MP4 box walks; ("unknown", 0…) when no magic matches or
+    * the container is truncated mid-structure. Pure function of the bytes. */
+  private[graft] def parseAvHeader(b: Array[Byte]): (String, Int, Int, Long, Int, Int) = {
+    val none = ("unknown", 0, 0, 0L, 0, 0)
+    def le32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def fourcc(i: Int): String =
+      new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+    if (b.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
+      // WAV: walk RIFF chunks for fmt (rate/channels/blockAlign) and data
+      // (sample count); chunks are word-aligned (odd sizes pad one byte)
+      var rate = 0; var ch = 0; var blockAlign = 0; var dataSize = -1L
+      var i = 12
+      while (i + 8 <= b.length && (dataSize < 0 || rate == 0)) {
+        val typ = fourcc(i); val sz = le32(i + 4)
+        if (typ == "fmt " && i + 24 <= b.length) {
+          ch = le16(b, i + 10); rate = le32(i + 12).toInt
+          blockAlign = le16(b, i + 20)
+        } else if (typ == "data") dataSize = sz
+        i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (rate <= 0 || blockAlign <= 0 || dataSize < 0) ("wav", rate, ch, 0L, 0, 0)
+      else ("wav", rate, ch, dataSize / blockAlign * 1000L / rate, 0, 0)
+    } else if (b.length >= 12 && fourcc(4) == "ftyp") {
+      // MP4/ISO-BMFF: top-level box walk to moov, then child walks to mvhd
+      // (timescale + duration) and trak/tkhd (16.16 fixed-point dims)
+      def be32u(i: Int): Long = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      def findBox(lo: Int, hi: Int, typ: String): Int = {
+        var i = lo
+        while (i + 8 <= hi) {
+          val sz = be32u(i)
+          if (sz < 8) return -1 // corrupt: would loop forever
+          if (fourcc(i + 4) == typ) return i
+          i += sz.toInt
+        }
+        -1
+      }
+      val end = b.length
+      val moov = findBox(0, end, "moov")
+      if (moov < 0) none.copy(_1 = "mp4")
+      else {
+        val moovEnd = math.min(end, moov + be32u(moov).toInt)
+        var durMs = 0L
+        val mvhd = findBox(moov + 8, moovEnd, "mvhd")
+        if (mvhd >= 0 && mvhd + 28 <= end && b(mvhd + 8) == 0) {
+          val timescale = be32u(mvhd + 20)
+          val dur = be32u(mvhd + 24)
+          if (timescale > 0) durMs = dur * 1000L / timescale
+        }
+        var w = 0; var h = 0
+        val trak = findBox(moov + 8, moovEnd, "trak")
+        if (trak >= 0) {
+          val trakEnd = math.min(end, trak + be32u(trak).toInt)
+          val tkhd = findBox(trak + 8, trakEnd, "tkhd")
+          if (tkhd >= 0 && tkhd + 92 <= end && b(tkhd + 8) == 0) {
+            w = (be32u(tkhd + 84) >> 16).toInt
+            h = (be32u(tkhd + 88) >> 16).toInt
+          }
+        }
+        ("mp4", 0, 0, durMs, w, h)
+      }
+    } else none
+  }
+
+  /** Batched per-partition A/V decode — same Iterator->Iterator shape as
+    * [[decodeBatch]]. */
+  def decodeAvBatch(it: Iterator[(Long, Array[Byte])]): Iterator[AvMeta] =
+    it.map { case (id, bytes) =>
+      val (fmt, rate, ch, durMs, w, h) = parseAvHeader(bytes)
+      AvMeta(id, fmt, rate, ch, durMs, w, h, bytes.length)
+    }
+
+  /** Pipeline over any (doc_id, media) binary frame. */
+  def decodeAvMeta(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(decodeAvBatch)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Gate pipeline: real WAV/MP4 generation -> binary column -> real
+    * container parse; columns restricted to the oracle-stated laws. */
+  def extractAvMeta(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeAvMeta(spark, withAvBlob(documents))
+      .select(col("doc_id"), col("fmt"), col("sample_rate"), col("channels"),
+        col("duration_ms"), col("width"), col("height"))
 }

@@ -91,4 +91,32 @@ class MultimodalSpec extends SparkFunSuite {
     val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one))
     assert(ref.getWidth == Multimodal.gateWidth(0) && ref.getHeight == Multimodal.gateHeight(0))
   }
+
+  test("WAV parser cross-checks against javax.sound; MP4 follows the box law") {
+    // WAV: the JDK's own RIFF reader agrees with our chunk walk
+    Seq(0L, 2L, 4L, 6L, 28L, 57L * 2).foreach { id =>
+      val bytes = Multimodal.wavBytes(id)
+      val (fmt, rate, ch, durMs, w, h) = Multimodal.parseAvHeader(bytes)
+      assert(fmt == "wav" && w == 0 && h == 0)
+      assert(rate == Multimodal.wavRate(id) && ch == Multimodal.wavChannels(id))
+      assert(durMs == Multimodal.wavDurationMs(id))
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(aff.getFormat.getSampleRate.toInt == rate)
+      assert(aff.getFormat.getChannels == ch)
+      assert(aff.getFrameLength == rate * Multimodal.wavDurationMs(id) / 1000)
+    }
+    // MP4: mvhd/tkhd walk recovers the stated laws
+    Seq(1L, 3L, 5L, 7L, 99L, 101L).foreach { id =>
+      val (fmt, rate, ch, durMs, w, h) = Multimodal.parseAvHeader(Multimodal.mp4Bytes(id))
+      assert(fmt == "mp4" && rate == 0 && ch == 0)
+      assert(durMs == Multimodal.mp4DurationMs(id))
+      assert(w == Multimodal.mp4Width(id) && h == Multimodal.mp4Height(id))
+    }
+    // fallthrough: unknown bytes, truncated RIFF, ftyp-only MP4 — no throw
+    assert(Multimodal.parseAvHeader(Array[Byte](1, 2, 3))._1 == "unknown")
+    assert(Multimodal.parseAvHeader("RIFF1234WAVE".getBytes)._1 == "wav")
+    assert(Multimodal.parseAvHeader(Multimodal.mp4Bytes(1L).take(20))._1 == "mp4")
+    assert(Multimodal.parseAvHeader(Multimodal.wavBytes(0L).take(30))._2 == 0)
+  }
 }
