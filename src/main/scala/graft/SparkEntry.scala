@@ -255,6 +255,9 @@ object SparkEntry {
     // every doc gets its component's min doc_id as keeper
     "dedup_keepers" -> ((s, dir) =>
       Dedup.keepers(s.read.parquet(s"$dir/documents.parquet"), 0.95)),
+    // the PRODUCTION streaming-dedup batch path (signature store + band
+    // rows + compaction) driven end-to-end over two epoch-ordered batches
+    "dedup_store_incr" -> ((s, dir) => graft.ops.GateStoreIncr.pairs(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- similarity search ----
@@ -631,6 +634,29 @@ object SparkEntry {
     // same signature/band/verify SQL as dedup_minhash_lsh, scoped to pairs
     // involving the fresh docId suffix: a < b makes that exactly b >= 400
     "dedup_lsh_incr" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, tt.term
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+         |  WHERE length(tt.term) BETWEEN 2 AND 40),
+         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
+         |mh AS (SELECT doc_id, $minhashCols FROM hh GROUP BY 1),
+         |bands AS ($bandsUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1)
+         |SELECT cand.a, cand.b,
+         |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE), 6) AS j
+         |FROM cand JOIN ts ta ON cand.a = ta.doc_id JOIN ts tb ON cand.b = tb.doc_id
+         |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95
+         |  AND cand.b >= 400
+         |ORDER BY a, b""".stripMargin,
+
+    // the store-backed streaming path emits exactly the pairs touching the
+    // fresh suffix — same oracle as dedup_lsh_incr (b >= 400)
+    "dedup_store_incr" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, tt.term
          |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
