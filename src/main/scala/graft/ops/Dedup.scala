@@ -106,11 +106,6 @@ object Dedup {
   /** Floor for the all-pairs block count (pair-groups = B*(B+1)/2). */
   private[graft] val DefaultPairBlocks = 16
 
-  // single-slot registry of the last verify's persisted candidate frame —
-  // see verifyCandidatePairsOf's eviction note
-  private val lastPersistedCand =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
-
   /** Per-task buffer budget for the pair kernels, in rows: each pair-group
     * task holds ONE block in memory (the other side streams), so the task
     * heap is bounded by TargetRowsPerBlock rows regardless of corpus size. */
@@ -310,12 +305,13 @@ object Dedup {
     * floor and a per-task memory ceiling).
     *
     * The candidate frame is consumed three times (count → routing-B, the
-    * (sid, pid) routing table, the scoring rows), so it is PERSISTED once up
-    * front: candidate rows are two longs — the cached footprint is tiny
-    * relative to the corpus — and caching also removes any correctness
-    * dependence on candidate generation being deterministic across repeated
-    * plan evaluations. `blocks` overrides B for the routing-invariance spec
-    * only. */
+    * (sid, pid) routing table, the scoring rows), so it is MATERIALIZED once
+    * up front via an eager localCheckpoint: candidate rows are two longs —
+    * the stored footprint is tiny relative to the corpus — every consumer
+    * reads the same stored rows (no correctness dependence on the caller's
+    * candidate plan being deterministic), and the blocks free automatically
+    * when the result is dropped. `blocks` overrides B for the
+    * routing-invariance spec only. */
   private[graft] def verifyCandidatePairs(groups: DataFrame, cand0: DataFrame,
                                           threshold: Double,
                                           blocks: Option[Int] = None): DataFrame = {
@@ -335,13 +331,16 @@ object Dedup {
       implicit setEnc: org.apache.spark.sql.Encoder[(Int, S, Array[Long])]): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
-    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bound the cache footprint across a long-lived session (a resident
-    // StreamDedup query runs one verify per micro-batch): evict the PREVIOUS
-    // verify's candidate cache when a new one starts. An in-flight older
-    // query that still references its frame just recomputes it — the
-    // candidate plans are deterministic, so the result is unchanged.
-    Option(lastPersistedCand.getAndSet(cand)).foreach(_.unpersist(blocking = false))
+    // The candidate frame is consumed three times (count → routing-B, the
+    // (sid, pid) routing table, the scoring rows). An EAGER localCheckpoint
+    // materializes it exactly once: every consumer reads the same stored
+    // rows, so correctness never depends on the caller's candidate plan
+    // being deterministic (a sample/limit-derived frame is fine), and the
+    // blocks are freed by Spark's ContextCleaner when the result frame
+    // becomes unreachable — no global eviction slot, no cross-call
+    // interference, no unbounded accumulation (round-4 ADVICE). Footprint
+    // is two longs per candidate.
+    val cand = cand0.localCheckpoint(true)
     val B = blocks.getOrElse(routingBlocksFor(cand.count()))
     require(B >= 1 && B <= MaxPairBlocks, s"routing blocks out of range: $B")
     def pidOf(sa: Long, sb: Long): Int = {

@@ -22,13 +22,22 @@ object GateIvf {
   def index(spark: SparkSession, sfDir: String, k: Int): (String, Array[(Int, Array[Float])]) =
     cache.computeIfAbsent(s"$sfDir#$k", { _ =>
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val n = emb.count()
+      // content fingerprint, not just the row count: an embeddings.parquet
+      // regenerated in place with the SAME row count but different vectors
+      // must rebuild, not serve a stale /tmp index across JVMs (round-4
+      // ADVICE). One slim agg: xxhash64 over (vec_id, first dimension).
+      val fpRow = emb.selectExpr(
+        "count(*) AS n",
+        // bit_xor, not sum: order-independent AND overflow-free under ANSI
+        "bit_xor(xxhash64(vec_id, CAST(embedding[0] AS STRING))) AS fp").collect()(0)
+      val n = fpRow.getLong(0)
+      val fp = if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)
       val safe = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
       val dir = s"/tmp/graft-gate-ivf/$safe-k$k"
       if (n == 0L) (dir, Array.empty[(Int, Array[Float])]) // empty corpus
       else {
         val stampFile = new java.io.File(s"$dir-stamp")
-        val stamp = s"gateivf-v$Version-k$k-n$n"
+        val stamp = s"gateivf-v$Version-k$k-n$n-fp$fp"
         val fresh = try {
           stampFile.exists() &&
             new String(java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") == stamp &&

@@ -187,16 +187,22 @@ object TextOps {
         // null text counts 0 tokens (size(null) would be -1)
         when(col("text").isNull, lit(0L))
           .otherwise(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
-    // the persist is LOAD-BEARING and must outlive the returned (lazy)
-    // frame: pass 2 executes when the caller does, and an unpinned
-    // re-execution of repartitionByRange could re-sample different range
-    // boundaries than pass 1 based its offsets on (see DocIds scaladoc).
-    // Footprint is two longs per doc; Spark evicts LRU if memory is tight.
+    // the pin is LOAD-BEARING: pass 2 executes when the caller does, and an
+    // unpinned re-execution of repartitionByRange could re-sample different
+    // range boundaries than pass 1 based its offsets on (see DocIds
+    // scaladoc). An EAGER localCheckpoint (not persist) does the pinning:
+    // the sorted rows are materialized once (two longs per doc), can never
+    // re-sample, and — unlike cache-manager persists, which pin blocks
+    // until an explicit unpersist — the blocks are freed by Spark's
+    // ContextCleaner as soon as the returned frame becomes unreachable, so
+    // repeated calls in a long-lived session cannot accumulate storage
+    // (round-4 ADVICE). Trade-off: local checkpoints don't survive executor
+    // loss; a cluster deployment that needs that uses reliable checkpoints.
     val sorted = counts
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val partInfo = sorted.mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {

@@ -150,9 +150,12 @@ class PlanSpec extends SparkFunSuite {
     val df = graft.ops.TextOps.packSequences(sfDocs, 256)
     df.collect()
     val plan = executedPlan(df)
-    // the prefix-sum passes read the persisted range-sorted intermediate:
-    // the executed plan must hit the InMemoryRelation, not re-shuffle
-    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+    // the prefix-sum passes read the MATERIALIZED range-sorted intermediate
+    // (eager localCheckpoint since round 5): the executed plan must scan
+    // the checkpointed RDD, not re-run the range shuffle
+    assert(plan.contains("Scan ExistingRDD"),
       s"pinned intermediate not reused in:\n$plan")
+    assert(!plan.contains("RangePartitioning"),
+      s"range shuffle re-executed downstream of the checkpoint in:\n$plan")
   }
 }
