@@ -64,13 +64,20 @@ class OpsSpec extends SparkFunSuite {
     }
     val vertices = pairList.flatMap(p => Seq(p._1, p._2)).distinct
     val expected = vertices.map(v => v -> find(v)).toMap
+    // both paths: driver union-find fast path (default) and the
+    // distributed propagation loop (driverLimit = 0 forces it)
     val got = Dedup.components(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+    val gotDist = Dedup.components(pairs, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expected)
 
     // chain graph exercises the pointer-jump path (diameter = n-1)
     val chain = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a", "b")
-    val chainComp = Dedup.components(chain).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chainComp = Dedup.components(chain, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(chainComp.length == 40 && chainComp.forall(_._2 == 0L))
+    assert(Dedup.lastComponentsIters > 0) // the loop actually ran
 
     // keepers: every doc assigned, keeper = component min, sizes consistent
     val keep = Dedup.keepers(docs, 0.95).collect()
