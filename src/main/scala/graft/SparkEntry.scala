@@ -258,6 +258,10 @@ object SparkEntry {
     // the PRODUCTION streaming-dedup batch path (signature store + band
     // rows + compaction) driven end-to-end over two epoch-ordered batches
     "dedup_store_incr" -> ((s, dir) => graft.ops.GateStoreIncr.pairs(s, dir)),
+    // keeper assignment maintained CONTINUOUSLY by that same drive
+    // (KeeperStore updated per batch, both stores compacted mid-drive) —
+    // must equal the one-call batch operator over the full corpus
+    "dedup_keepers_store" -> ((s, dir) => graft.ops.GateStoreIncr.keepers(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- similarity search ----
@@ -373,6 +377,41 @@ object SparkEntry {
     .map(r => s"CAST(mh${b * Dedup.BandRows + r} AS VARCHAR)").mkString(" || '-' || ")
   private val bandsUnion: String = (0 until Dedup.NumHashes / Dedup.BandRows)
     .map(b => s"SELECT doc_id, $b AS band, ${bandSig(b)} AS sig FROM mh").mkString(" UNION ALL ")
+
+  /** Shared by dedup_keepers (batch operator) and dedup_keepers_store (the
+    * continuously-maintained KeeperStore assignment) — identical pair
+    * semantics must yield identical components, so both gates state the
+    * same recursive-reachability oracle. */
+  private val keepersOracleSql: String =
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT DISTINCT doc_id, tt.term
+       |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+       |  WHERE length(tt.term) BETWEEN 2 AND 40),
+       |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
+       |mh AS (SELECT doc_id, $minhashCols FROM hh GROUP BY 1),
+       |bands AS ($bandsUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1),
+       |pairs AS (
+       |  SELECT cand.a, cand.b
+       |  FROM cand JOIN ts ta ON cand.a = ta.doc_id JOIN ts tb ON cand.b = tb.doc_id
+       |  WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95),
+       |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+       |walk(v, lbl) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
+       |  UNION
+       |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.v),
+       |comp AS (SELECT v, min(lbl) AS keeper FROM walk GROUP BY v),
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(c.keeper, d.doc_id) AS keeper
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+       |sizes AS (SELECT keeper, count(*) AS n_members FROM assigned GROUP BY 1)
+       |SELECT a.doc_id, a.keeper, a.doc_id = a.keeper AS is_keeper, s.n_members
+       |FROM assigned a JOIN sizes s USING (keeper)
+       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ft_docids" ->
@@ -680,36 +719,9 @@ object SparkEntry {
     // keeper assignment: connected components over the dedup_minhash_lsh
     // pair graph (same tok/band/verify SQL), components via a recursive
     // reachability walk — lbl(v) = min vertex reachable from v
-    "dedup_keepers" ->
-      s"""WITH RECURSIVE tok AS (
-         |  SELECT DISTINCT doc_id, tt.term
-         |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
-         |  WHERE length(tt.term) BETWEEN 2 AND 40),
-         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
-         |mh AS (SELECT doc_id, $minhashCols FROM hh GROUP BY 1),
-         |bands AS ($bandsUnion),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
-         |  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |ts AS (SELECT doc_id, list(term ORDER BY term) AS ts FROM tok GROUP BY 1),
-         |pairs AS (
-         |  SELECT cand.a, cand.b
-         |  FROM cand JOIN ts ta ON cand.a = ta.doc_id JOIN ts tb ON cand.b = tb.doc_id
-         |  WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(ta.ts, tb.ts))) AS DOUBLE) >= 0.95),
-         |edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
-         |walk(v, lbl) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
-         |  UNION
-         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.v),
-         |comp AS (SELECT v, min(lbl) AS keeper FROM walk GROUP BY v),
-         |assigned AS (
-         |  SELECT d.doc_id, coalesce(c.keeper, d.doc_id) AS keeper
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
-         |sizes AS (SELECT keeper, count(*) AS n_members FROM assigned GROUP BY 1)
-         |SELECT a.doc_id, a.keeper, a.doc_id = a.keeper AS is_keeper, s.n_members
-         |FROM assigned a JOIN sizes s USING (keeper)
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_keepers" -> keepersOracleSql,
+    // store-maintained continuous assignment == the batch operator
+    "dedup_keepers_store" -> keepersOracleSql,
 
     // split/sample assignment is a pure function of doc_id via the same
     // md5-derived 28-bit hash the dedup family uses — both sides literal

@@ -23,13 +23,15 @@ import org.apache.spark.sql.functions._
   * sf0.1). A documents.parquet regenerated in place invalidates the stamp. */
 object GateStoreIncr {
 
-  /** Bump on ANY change to StreamDedup/SignatureStore semantics or layout. */
-  private val Version = 1
+  /** Bump on ANY change to StreamDedup/SignatureStore/KeeperStore semantics
+    * or layout. */
+  private val Version = 2
 
   private val cache = new ConcurrentHashMap[String, String]()
 
-  def pairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairsDir = cache.computeIfAbsent(sfDir, { _ =>
+  /** Run (or reuse) the two-batch drive; returns the drive's base dir. */
+  private def drive(spark: SparkSession, sfDir: String): String =
+    cache.computeIfAbsent(sfDir, { _ =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val fpRow = docs.selectExpr(
@@ -51,19 +53,33 @@ object GateStoreIncr {
         graft.FsUtil.deleteRecursively(new java.io.File(base))
         stampFile.delete()
         val corpus = s"$base/corpus"
+        val keepers = Some(s"$base/keepers")
         graft.streaming.StreamDedup.processBatch(
-          spark, docs.filter(col("doc_id") < 400), 0L, corpus, out, 0.95)
+          spark, docs.filter(col("doc_id") < 400), 0L, corpus, out, 0.95,
+          keepersDir = keepers)
+        // compact BOTH stores mid-drive so the fresh batch runs against
+        // folded state — bake + newer-edge contraction are oracle-covered
         SignatureStore.compact(spark, s"$corpus-sigstore", upTo = 0L)
+        KeeperStore.compact(spark, keepers.get, upTo = 0L)
         graft.streaming.StreamDedup.processBatch(
-          spark, docs.filter(col("doc_id") >= 400), 1L, corpus, out, 0.95)
+          spark, docs.filter(col("doc_id") >= 400), 1L, corpus, out, 0.95,
+          keepersDir = keepers)
         java.nio.file.Files.createDirectories(stampFile.toPath.getParent)
         java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
       }
-      out
+      base
     })
-    spark.read.parquet(pairsDir)
+
+  def pairs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${drive(spark, sfDir)}/pairs")
       .filter(col("batch_id").cast("long") === 1L)
       .select(col("a"), col("b"), col("j"))
       .orderBy("a", "b")
-  }
+
+  /** Keeper assignment maintained continuously by the drive (KeeperStore
+    * updated per batch, compacted between them) — equals the one-call
+    * [[Dedup.keepers]] over the full corpus, which is what the DuckDB
+    * recursive-CTE oracle states. */
+  def keepers(spark: SparkSession, sfDir: String): DataFrame =
+    KeeperStore.assignments(spark, s"${drive(spark, sfDir)}/keepers")
 }

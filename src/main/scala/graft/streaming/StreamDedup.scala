@@ -36,14 +36,15 @@ object StreamDedup {
             pairsDir: String, checkpointDir: String,
             threshold: Double = 0.95,
             drainAndStop: Boolean = false,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = 0,
+            keepersDir: Option[String] = None): StreamingQuery = {
     val w = docsStream
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, corpusDir, pairsDir, threshold,
-          compactEvery)
+          compactEvery, keepersDir)
       }
     // AvailableNow drains what already landed then stops (batch-style daily
     // runs); the default trigger keeps consuming (resident service / tests
@@ -61,7 +62,8 @@ object StreamDedup {
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
                                   batchId: Long, corpusDir: String,
                                   pairsDir: String, threshold: Double,
-                                  compactEvery: Int = 0): Unit = {
+                                  compactEvery: Int = 0,
+                                  keepersDir: Option[String] = None): Unit = {
     val storeDir = s"$corpusDir-sigstore"
     val rows = batch.select(col("doc_id"), col("text")).cache()
     val freshFrom = rows.agg(min("doc_id")).collect()(0)
@@ -94,11 +96,24 @@ object StreamDedup {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(pairsDir)
+    // continuous keeper assignment: feed THIS batch's pairs (read back from
+    // the just-committed partition — columnar, no pipeline recompute) into
+    // the keeper store, which appends contracted merge edges; assignments
+    // are then answerable at any moment without replaying pair history
+    keepersDir.foreach { kd =>
+      val batchPairs = spark.read.parquet(pairsDir)
+        .filter(col("batch_id").cast("long") === lit(batchId))
+        .select(col("a"), col("b"))
+      graft.ops.KeeperStore.update(spark, kd, rows, batchPairs, batchId,
+        freshFrom.getLong(0))
+    }
     rows.unpersist()
     // periodic compaction of the per-batch store partitions; upTo =
     // batchId - 1 is replay-safe (foreachBatch serializes batches — only
     // the in-flight batch can ever replay, and its partitions are untouched)
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       graft.ops.SignatureStore.compact(spark, storeDir, batchId - 1)
+      keepersDir.foreach(kd => graft.ops.KeeperStore.compact(spark, kd, batchId - 1))
+    }
   }
 }
