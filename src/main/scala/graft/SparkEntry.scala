@@ -381,7 +381,15 @@ object SparkEntry {
   /** Shared by dedup_keepers (batch operator) and dedup_keepers_store (the
     * continuously-maintained KeeperStore assignment) — identical pair
     * semantics must yield identical components, so both gates state the
-    * same recursive-reachability oracle. */
+    * same recursive-reachability oracle.
+    *
+    * Scope note: the walk fixpoint materializes every (vertex, reachable
+    * label) pair, so its cost is quadratic in component size — tractable on
+    * the gate corpus (sf0.01: largest component 150), intractable on
+    * near-clique giants (sf0.1 grows a 2148-member component; DuckDB burns
+    * hours there). sf0.1 self-validation therefore checks keepers by
+    * union-find over the separately-oracle-checked dedup_minhash_lsh pair
+    * table instead of re-running this SQL. */
   private val keepersOracleSql: String =
     s"""WITH RECURSIVE tok AS (
        |  SELECT DISTINCT doc_id, tt.term
