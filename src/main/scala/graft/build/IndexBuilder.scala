@@ -263,15 +263,24 @@ object IndexBuilder {
       .withColumn("bucket", bucketCol(col("term"), cfg.buckets))
       .withColumn("chunk", (col("docId") / cfg.chunkDocs).cast("long"))
 
-    // Posting grouping (round 5): SORT-based by default. tf is pre-counted
-    // per doc, so the hash-aggregate's partial/final combine never reduces
-    // row count — it only repacks occurrence rows into Kryo-serialized
-    // PostingBuf runs (serde + GC for zero combining benefit). One Tungsten
-    // sort shuffle on the write-aligned keys plus a streaming run-length
-    // grouper produces identical groups from compact UnsafeRows; per-task
-    // memory is one (term, chunk) group ≤ chunkDocs rows either way.
-    // GRAFT_AGG=hash keeps the UDAF path selectable for A/B measurement.
-    val groupedRaw = (if (sys.env.getOrElse("GRAFT_AGG", "sort") == "hash") {
+    // Posting grouping: hash UDAF by default, sort-based selectable.
+    // Round 5 first flipped the default to a Tungsten sort shuffle +
+    // streaming run-length grouper on the strength of a sequential A/B
+    // (61.4 vs 69.6 s at 2M turns) — but sequential whole-arm runs on this
+    // host bias toward whichever arm lands in the quieter window (the same
+    // failure mode as the sequential scaling legs), and a paired in-JVM
+    // interleaved A/B (tools.AggAb: sort rep, hash rep, alternating in one
+    // bound JVM) reversed the verdict at EVERY size/parallelism tested:
+    // sort/hash = 1.03 (4c/600k), 1.06 (32c/150k), 1.15 (32c/600k),
+    // 1.07 (32c/2M), hash reps the stabler arm throughout. The UDAF's
+    // per-group PostingBuf serde is real cost, but the sort path re-sorts
+    // ALL occurrence rows on a 5-part key where the hash path only shuffles
+    // them — measurement beats the narrative. Both paths produce identical
+    // groups (GoldenSpec digest); GRAFT_AGG (env) or conf graft.agg select
+    // per build, conf winning so one live JVM can alternate reps.
+    val aggMode = spark.conf.getOption("graft.agg")
+      .getOrElse(sys.env.getOrElse("GRAFT_AGG", "hash"))
+    val groupedRaw = (if (aggMode == "hash") {
       val postingUdaf = udaf(PostingAgg)
       occs.groupBy("field", "term", "bucket", "chunk")
         .agg(postingUdaf(col("docId"), col("tf"), col("dl")).as("p"))
