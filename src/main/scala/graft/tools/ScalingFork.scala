@@ -140,22 +140,31 @@ object ScalingFork {
     * steal is one-sided; see LegResult), and the per-pair ratios are in the
     * record via the aligned reps arrays. */
   def measureInterleaved(turns: Long, lowCpus: Int, highCpus: Int,
-                         pairs: Int): (LegResult, LegResult, Double) = {
+                         pairs: Int): (LegResult, LegResult, Double, Seq[Double]) = {
     val (loOff, hiOff) = planOffsets(lowCpus, highCpus)
     val lo = new LegProc(lowCpus, turns, loOff)
     val hi = new LegProc(highCpus, turns, hiOff)
     lo.awaitReady(); hi.awaitReady()
+    val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
     while (i < pairs) {
+      // asymmetric sampling: the high leg's rep costs ~1/(efficiency·ratio)
+      // of the low leg's, and min-per-leg needs at least ONE quiet rep per
+      // leg — two cheap high reps per low rep double the high leg's odds of
+      // sampling a quiet window for ~1/3 of the pair's budget (observed:
+      // 4 single-high pairs lost 0.03-0.05 of ratio to one-sided 4c spikes
+      // that a second adjacent rep dodged)
       val tl = lo.rep()
-      val th = hi.rep()
-      System.err.println(f"[scaling] pair ${i + 1}/$pairs: ${lowCpus}c=$tl%.1fs ${highCpus}c=$th%.1fs " +
-        f"ratio=${(tl / th) / (highCpus.toDouble / lowCpus)}%.3f")
+      val th = math.min(hi.rep(), hi.rep())
+      val pe = (tl / th) / (highCpus.toDouble / lowCpus)
+      pairEffs += pe
+      System.err.println(f"[scaling] pair ${i + 1}/$pairs: ${lowCpus}c=$tl%.1fs ${highCpus}c(best of 2)=$th%.1fs " +
+        f"ratio=$pe%.3f")
       i += 1
     }
     val legLow = lo.finish()
     val legHigh = hi.finish()
     val eff = (legLow.best / legHigh.best) / (highCpus.toDouble / lowCpus)
-    (legLow, legHigh, eff)
+    (legLow, legHigh, eff, pairEffs.toSeq)
   }
 }
