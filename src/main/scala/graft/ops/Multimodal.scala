@@ -274,7 +274,10 @@ object Multimodal {
           ch = le16(b, i + 10); rate = le32(i + 12).toInt
           blockAlign = le16(b, i + 20)
         } else if (typ == "data") dataSize = sz
-        i += 8 + sz.toInt + (sz.toInt & 1)
+        // A declared size past the buffer end (truncated or corrupt — e.g.
+        // 0xFFFFFFF8 whose toInt is negative) must end the walk, not stall it.
+        if (sz > b.length - i - 8) i = b.length
+        else i += 8 + sz.toInt + (sz.toInt & 1)
       }
       if (rate <= 0 || blockAlign <= 0 || dataSize < 0) ("wav", rate, ch, 0L, 0, 0)
       else ("wav", rate, ch, dataSize / blockAlign * 1000L / rate, 0, 0)
@@ -289,6 +292,7 @@ object Multimodal {
           val sz = be32u(i)
           if (sz < 8) return -1 // corrupt: would loop forever
           if (fourcc(i + 4) == typ) return i
+          if (sz > hi - i) return -1 // truncated/corrupt: toInt may go negative
           i += sz.toInt
         }
         -1

@@ -118,5 +118,15 @@ class MultimodalSpec extends SparkFunSuite {
     assert(Multimodal.parseAvHeader("RIFF1234WAVE".getBytes)._1 == "wav")
     assert(Multimodal.parseAvHeader(Multimodal.mp4Bytes(1L).take(20))._1 == "mp4")
     assert(Multimodal.parseAvHeader(Multimodal.wavBytes(0L).take(30))._2 == 0)
+    // corrupt sizes whose toInt is negative: walk must terminate, not stall
+    val badWav = Multimodal.wavBytes(0L).clone()
+    // first chunk at offset 12: overwrite its size with 0xFFFFFFF8
+    badWav(16) = 0xf8.toByte; badWav(17) = 0xff.toByte
+    badWav(18) = 0xff.toByte; badWav(19) = 0xff.toByte
+    assert(Multimodal.parseAvHeader(badWav)._1 == "wav") // returns, rate-less
+    val badMp4 = Multimodal.mp4Bytes(1L).clone()
+    // first box size -> 0x80000010 (negative as Int): walk must bail cleanly
+    badMp4(0) = 0x80.toByte; badMp4(1) = 0; badMp4(2) = 0; badMp4(3) = 0x10
+    assert(Multimodal.parseAvHeader(badMp4)._1 == "mp4")
   }
 }
