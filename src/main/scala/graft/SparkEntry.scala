@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.ops.{Dedup, GateIndex, Multimodal, Similarity, TextOps, Transcripts}
 import graft.query.SearchQuery
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, SizedFlush}
 
 /** Driver contract — one `queries` entry per implemented operator (SURVEY.md
   * §2 inventory + the training-data-pipeline extensions), each with an
@@ -152,6 +152,11 @@ object SparkEntry {
     }),
     "stream_hourly" -> ((s, dir) => EventStream.hourlyByType(s, dir)),
     "stream_hourly_append" -> ((s, dir) => EventStream.hourlyAppendGate(s, dir)),
+    // size-triggered early flush (T3, logto_hdfs_collector.go:215-242):
+    // flatMapGroupsWithState segment manifests — "size" flushes whenever a
+    // bucket's accumulated bytes reach the threshold, "timeout" remainders
+    // when the watermark closes the bucket
+    "stream_sized_flush" -> ((s, dir) => SizedFlush.sizedFlushGate(s, dir)),
 
     // ---- field extraction: reference line formats JSON/TAB/KV (P1-P3,
     // CommonLogParser.java:49-61; dotted-path JSON TokenParser.java:87-121) ----
@@ -574,6 +579,41 @@ object SparkEntry {
         |FROM events
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // T3 size-triggered flush: per hour-bucket, items ordered by event_id
+    // accumulate (octet_length(props) + 16) bytes; a segment flushes the
+    // moment the accumulator reaches 128 ("size", accumulator resets — the
+    // reset-running-sum needs the recursive walk below), the remainder
+    // flushes only for buckets the final watermark closed ("timeout")
+    "stream_sized_flush" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_id,
+        |         octet_length(CAST(props AS BLOB)) + 16 AS sz,
+        |         row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY event_id) AS rn
+        |  FROM events
+        |),
+        |walk AS (
+        |  SELECT h, rn, event_id, sz, 0 AS seq, (sz >= 128) AS flush,
+        |         CASE WHEN sz >= 128 THEN 0 ELSE sz END AS acc
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.h, o.rn, o.event_id, o.sz,
+        |         w.seq + CASE WHEN w.flush THEN 1 ELSE 0 END AS seq,
+        |         (w.acc + o.sz >= 128) AS flush,
+        |         CASE WHEN w.acc + o.sz >= 128 THEN 0 ELSE w.acc + o.sz END AS acc
+        |  FROM walk w JOIN ord o ON o.h = w.h AND o.rn = w.rn + 1
+        |),
+        |segs AS (
+        |  SELECT h, seq, count(*) AS n, CAST(sum(sz) AS BIGINT) AS bytes,
+        |         min(event_id) AS first_id, max(event_id) AS last_id,
+        |         max(CASE WHEN flush THEN 1 ELSE 0 END) = 1 AS has_flush
+        |  FROM walk GROUP BY h, seq
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, CAST(seq AS INT) AS seq,
+        |       n, bytes, first_id, last_id,
+        |       CASE WHEN has_flush THEN 'size' ELSE 'timeout' END AS reason
+        |FROM segs
+        |WHERE has_flush OR h + INTERVAL 1 HOUR < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY bucket, seq""".stripMargin,
 
     "px_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
