@@ -118,12 +118,21 @@ object SizedFlush {
       streamDir.resolve("events.parquet"),
       java.nio.file.Path.of(sfDir, "events.parquet").toAbsolutePath)
     val src = spark.readStream.schema(EventStream.schema).parquet(streamDir.toString)
-    val q = segments(src, maxBytes).writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // the stateful operator gets one state-store instance PER shuffle
+    // partition PER micro-batch (delta file writes, maintenance); at gate
+    // scale (720 hour-buckets) 8 state partitions carry the same
+    // parallelism headroom at a quarter of the store overhead — a real
+    // deployment sizes this to live-bucket count, not data volume
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = segments(src, maxBytes).writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.table(table).orderBy("bucket", "seq")
   }
 }
