@@ -103,10 +103,18 @@ object EventStream {
       val q = hourlyAppendToParquet(spark, src, out, ckp)
       try q.processAllAvailable() finally q.stop()
     }
-    writeBatch("b1", ev.filter(col("ts") < lit(boundary)))
-    runBatch()
-    writeBatch("b2", ev.filter(col("ts") >= lit(boundary)))
-    runBatch()
+    // scope the stateful operator to 8 state-store partitions for the gate
+    // run (720 hour windows need no more; 32 stores × 2 query runs is pure
+    // per-batch commit overhead) — the count is baked into the checkpoint at
+    // first start, so both runs see the same value
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      writeBatch("b1", ev.filter(col("ts") < lit(boundary)))
+      runBatch()
+      writeBatch("b2", ev.filter(col("ts") >= lit(boundary)))
+      runBatch()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.read.schema("hour STRING, event_type STRING, n BIGINT, sum_value DOUBLE")
       .parquet(out).orderBy("hour", "event_type")
   }
