@@ -49,12 +49,17 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // 8 state partitions for ~720 hour windows — see hourlyAppendGate
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.table(table).orderBy("hour", "event_type")
   }
 
