@@ -30,6 +30,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * and would otherwise leak nondeterminism into segment boundaries. That
   * buffers one bucket×batch of slim (id, sz) pairs per task, bounded by
   * bucket time-width exactly as the reference's per-minute map was.
+  *
+  * Stragglers AFTER a bucket's timeout flush (event delay > lateness +
+  * bucket width — fMGWS does not pre-drop late rows) start a FRESH segment
+  * lineage: seq restarts at 0 and the timeout re-arms just past the current
+  * watermark. This mirrors the reference exactly — its flush deletes
+  * `logMap[minute]` and a straggler file re-creates the entry, producing an
+  * additional merge file for the same minute (collector.go:215-242). A
+  * consumer needing cross-lineage identity keys on (bucket, first_id),
+  * which stays unique; (bucket, seq) alone is unique only within a lineage.
   */
 object SizedFlush {
 
