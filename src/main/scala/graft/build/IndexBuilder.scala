@@ -316,16 +316,24 @@ object IndexBuilder {
       }.toDF("field", "term", "bucket", "chunk", "p")
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
+    if (verbose) { groupedRaw.count(); phase("postings:agg") } // diagnostic-only job
+
     // header stats: df (uv) + pv per term, reference header semantics
     // (InvertedIndexGenerateReducer.java:390-395). Derived from the chunk
     // rows — a #(term,chunk)-row aggregate — instead of re-shuffling every
     // occurrence row a second time.
+    // persisted: consumed by BOTH the encode join and the termstats write —
+    // unpersisted it re-scans the heavy groupedRaw cache (deserializing every
+    // posting array a second time just to size it); the persisted frame is
+    // vocab-sized (field, term, bucket, df, pv), tiny next to the arrays
     val stats = groupedRaw
       .select(col("field"), col("term"), col("bucket"),
         size(col("p.docIds")).cast("long").as("dfc"),
         expr("aggregate(p.tfs, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("pvc"))
       .groupBy("field", "term", "bucket")
       .agg(sum("dfc").as("df"), sum("pvc").as("pv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (verbose) { stats.count(); phase("postings:stats") } // diagnostic-only job
 
     // optional truncation cap (isInvalidData mirror): running doc count per
     // term over chunk order; drop/trim chunks past the cap. The window
@@ -346,6 +354,10 @@ object IndexBuilder {
           slice(col("p.dls"), lit(1), col("keep")).as("dls")))
         .drop("prior", "keep")
     }
+    // no broadcast hint here on purpose: stats is vocab-sized (can be tens
+    // of GB at web scale) — AQE converts to broadcast at runtime when it IS
+    // small; a measured A/B at 2M turns showed the hint changes nothing
+    // (the phase cost is encode+write, not this join)
     val grouped = capped
       .join(stats.select("field", "term", "df"), Seq("field", "term"))
 
@@ -400,7 +412,7 @@ object IndexBuilder {
 
     val manifest = IndexManifest(buildId, numDocs, cfg.buckets, cfg.chunkDocs, cfg.blockSize, avgdl)
     writeManifest(fs, new Path(manifestDir, "core.json"), manifest)
-    groupedRaw.unpersist(); sortedHandle.unpersist()
+    groupedRaw.unpersist(); stats.unpersist(); sortedHandle.unpersist()
     manifest
   }
 
