@@ -22,12 +22,24 @@ object Sessions {
     } else sys.props.getOrElse("java.io.tmpdir", "/tmp")
   }
 
+  /** Shuffle partitioning is a property of the JOB, not the hardware: a real
+    * cluster fixes the data partitioning and varies executor count, so two
+    * parallelism levels must run the IDENTICAL plan. Tying partitions to
+    * `cpus` (rounds ≤4) made the scaling legs run DIFFERENT plans — at P=1
+    * `repartitionByRange(1)` skips its range-sampling pass entirely (the
+    * small leg did less work), and P=4 on 4 cores has a straggler tail that
+    * 32 finer tasks smooth out — which is exactly the kind of artifact the
+    * two-cluster-size criterion must not contain. 32 matches the bench/gate
+    * sessions, so every entry point also shares one plan shape and file
+    * layout. */
+  val ShufflePartitions = 32
+
   def local(cpus: Int, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new GraftExtensions) // vb_decode in SQL everywhere
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", ShufflePartitions.toString)
       // AQE stays on (Spark's posture for batch jobs; it skew-splits and
       // right-sizes the big shuffles on a real cluster). SPARK_GRAFT_AQE=0
       // is a diagnostic knob only: with it off the 1-core scaling leg runs

@@ -40,8 +40,12 @@ object DocIds {
   def assign(df: DataFrame, numPartitions: Int = 0): DataFrame =
     assignWithHandle(df, numPartitions)._1
 
-  /** Like assign, also returning the pinned intermediate for unpersisting. */
-  def assignWithHandle(df: DataFrame, numPartitions: Int = 0): (DataFrame, DataFrame) = {
+  /** Like assign, also returning the pinned intermediate (for unpersisting)
+    * and the total row count. The count falls out of pass 1's per-partition
+    * tallies for free — callers must NOT run a separate `.count()` over the
+    * result (it re-walks the whole pinned sort; it was a measured serial
+    * second on the 1-core scaling leg). */
+  def assignWithHandle(df: DataFrame, numPartitions: Int = 0): (DataFrame, DataFrame, Long) = {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -104,6 +108,6 @@ object DocIds {
         }
       }
     }
-    (out, sorted)
+    (out, sorted, acc)
   }
 }

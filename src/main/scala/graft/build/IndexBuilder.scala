@@ -185,11 +185,14 @@ object IndexBuilder {
 
     // docs itself is not persisted — every consumer streams a cheap
     // per-partition pass over DocIds' pinned sorted intermediate
-    val (docs, sortedHandle) = DocIds.assignWithHandle(turns, cfg.docIdPartitions)
-    // cheap count materializes the pinned sort; per-field avgdl is NOT a
-    // separate tokenize pass anymore — it rides out of the norms job below
-    // (sum_dl/n_docs columns), which already tokenizes every field once
-    val numDocs = docs.count()
+    // numDocs rides out of DocIds pass 1 (the P-row partition tally) — the
+    // pinned sort is already materialized by that pass's collect, so a
+    // separate docs.count() here would re-walk the whole persisted corpus
+    // for a number we already have (a measured serial second on the 1-core
+    // scaling leg). Per-field avgdl is likewise NOT a separate tokenize
+    // pass — it rides out of the norms job below (sum_dl/n_docs columns),
+    // which already tokenizes every field once.
+    val (docs, sortedHandle, numDocs) = DocIds.assignWithHandle(turns, cfg.docIdPartitions)
     phase("docids+count")
     // analyzer config identity rides in the id: a field set or chain change
     // must invalidate resume, not silently reuse old postings

@@ -8,8 +8,7 @@ object NormDbg {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val turns = graft.gen.TranscriptGen.turns(spark, 3000, 4).toDF()
-    val (docs, handle) = graft.build.DocIds.assignWithHandle(turns, 0)
-    docs.count()
+    val (docs, handle, _) = graft.build.DocIds.assignWithHandle(turns, 0)
     val chunkDocs = 256L
     val dlRows = Seq("text", "role", "tool").map { f =>
       val toks = f match {

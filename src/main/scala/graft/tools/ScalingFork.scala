@@ -77,7 +77,7 @@ object ScalingFork {
 
   /** A live interactive leg JVM (ScalingLeg --interactive): warmed up, bound
     * to its own cpuset, waiting on stdin for one-rep GO commands. */
-  private final class LegProc(val cpus: Int, turns: Long, offset: Int) {
+  private final class LegProc(val cpus: Int, turns: Long, offset: Int, shufflePartitions: Int) {
     private val errBuf = new java.io.ByteArrayOutputStream()
     val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
     var cpusAllowed: String = "unknown"
@@ -88,7 +88,8 @@ object ScalingFork {
       val cp = System.getProperty("java.class.path")
       val cmd = affinityPrefix ++
         Seq(javaBin, s"-XX:ActiveProcessorCount=$cpus") ++ inheritedJvmArgs ++
-        Seq("-cp", cp, "graft.tools.ScalingLeg", cpus.toString, turns.toString, "0", "--interactive")
+        Seq("-cp", cp, "graft.tools.ScalingLeg", cpus.toString, turns.toString, "0",
+          "--interactive", shufflePartitions.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(false)
       pb.start()
@@ -142,8 +143,10 @@ object ScalingFork {
   def measureInterleaved(turns: Long, lowCpus: Int, highCpus: Int,
                          pairs: Int): (LegResult, LegResult, Double, Seq[Double]) = {
     val (loOff, hiOff) = planOffsets(lowCpus, highCpus)
-    val lo = new LegProc(lowCpus, turns, loOff)
-    val hi = new LegProc(highCpus, turns, hiOff)
+    // both legs run the IDENTICAL job: shuffle partitioning fixed at 2x the
+    // high leg's cores (strong scaling — see ScalingLeg's scaladoc)
+    val lo = new LegProc(lowCpus, turns, loOff, 2 * highCpus)
+    val hi = new LegProc(highCpus, turns, hiOff, 2 * highCpus)
     lo.awaitReady(); hi.awaitReady()
     val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
