@@ -348,6 +348,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.qualityScore(s.read.parquet(s"$dir/documents.parquet"))),
     "text_langid" -> ((s, dir) => TextOps.langId(s.read.parquet(s"$dir/documents.parquet"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_repetition" -> ((s, dir) => TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- multimodal: real PNG generation -> binary column -> real header
     // decode (dims are a stated function of doc_id, so the oracle can
@@ -1042,6 +1043,44 @@ object SparkEntry {
         |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h FROM sh)
         |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, CAST(count(*) AS BIGINT) AS n_shingles
         |FROM hh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // positional k-gram repetition: denominators are k-gram SLOT counts
+    // (n-k+1), numerators the tf of the modal token/bigram and the total tf
+    // mass of trigrams occurring more than once — mirrors
+    // TextOps.repetitionSignals 1:1 (same filtered token list, so gram
+    // positions are post-filter on both sides)
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                             t -> length(t) BETWEEN 2 AND 40) AS l
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, max(c) AS mx FROM (
+        |    SELECT doc_id, tok, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(l) AS tok FROM base) GROUP BY 1, 2) GROUP BY 1),
+        |btf AS (
+        |  SELECT doc_id, max(c) AS mxb FROM (
+        |    SELECT doc_id, bg, count(*) AS c
+        |    FROM (SELECT doc_id, unnest([array_to_string(l[i:i+1], ' ')
+        |                                 FOR i IN generate_series(1, len(l) - 1)]) AS bg
+        |          FROM base) GROUP BY 1, 2) GROUP BY 1),
+        |ttf AS (
+        |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM (
+        |    SELECT doc_id, tg, count(*) AS c
+        |    FROM (SELECT doc_id, unnest([array_to_string(l[i:i+2], ' ')
+        |                                 FOR i IN generate_series(1, len(l) - 2)]) AS tg
+        |          FROM base) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(len(b.l) AS INT) AS n_tokens,
+        |  round(CASE WHEN len(b.l) >= 1
+        |    THEN CAST(coalesce(tf.mx, 0) AS DOUBLE) / len(b.l) ELSE 0.0 END, 6) AS top_token_frac,
+        |  round(CASE WHEN len(b.l) >= 2
+        |    THEN CAST(coalesce(btf.mxb, 0) AS DOUBLE) / (len(b.l) - 1) ELSE 0.0 END, 6) AS top_bigram_frac,
+        |  round(CASE WHEN len(b.l) >= 3
+        |    THEN CAST(coalesce(ttf.dup, 0) AS DOUBLE) / (len(b.l) - 2) ELSE 0.0 END, 6) AS dup_trigram_frac
+        |FROM base b LEFT JOIN tf USING (doc_id) LEFT JOIN btf USING (doc_id)
+        |  LEFT JOIN ttf USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the Spark side encodes a REAL PNG per doc (ImageIO) and parses its
     // IHDR back; width/height follow the generator's stated doc_id law, so

@@ -133,6 +133,73 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals — the repeated-content quality family popularized
+    * by the Gopher data pipeline (Rae et al. 2021, "Scaling Language
+    * Models", table A1 repetition filters): the share of token positions
+    * claimed by the single most frequent token / bigram, and the share of
+    * trigram positions whose trigram occurs more than once. High values
+    * flag boilerplate, keyword stuffing and degenerate loops that the
+    * length/stopword/distinct signals in [[qualityScore]] miss entirely
+    * (a doc of "buy now buy now …" has a perfect length score).
+    *
+    *   top_token_frac   = max token tf / n              (0 when n < 1)
+    *   top_bigram_frac  = max bigram tf / (n-1)         (0 when n < 2)
+    *   dup_trigram_frac = Σ tf(t)·[tf(t)>1] / (n-2)     (0 when n < 3)
+    *
+    * Denominators are POSITION counts (n-k+1 k-gram slots), so every
+    * fraction is in [0,1] with 1 = "one repeated k-gram covers the doc".
+    * A doc's n-grams all live in its own row, so the frequency maps reduce
+    * IN PLACE: one narrow mapPartitions, zero shuffle, zero explode — the
+    * same 100 TB shape as [[fingerprint]] (an explode form would shuffle
+    * ~3n rows per doc through three hash-aggs). Same analyzer tokens as
+    * every other text member; formulas mirrored 1:1 in the oracle SQL,
+    * with the rounding applied by Spark's round() like [[qualityScore]]. */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        // per-doc tf maps; gram keys are exact joined strings (a hashed key
+        // could alias two grams and over-count), doc-sized and short-lived
+        def gramCounts(toks: Array[String], k: Int): scala.collection.mutable.HashMap[String, Long] = {
+          val m = new scala.collection.mutable.HashMap[String, Long]
+          val slots = toks.length - k + 1
+          val sb = new java.lang.StringBuilder(48)
+          var i = 0
+          while (i < slots) {
+            sb.setLength(0)
+            var j = i
+            while (j < i + k) {
+              if (j > i) sb.append(' ')
+              sb.append(toks(j))
+              j += 1
+            }
+            val key = sb.toString
+            m.update(key, m.getOrElse(key, 0L) + 1L)
+            i += 1
+          }
+          m
+        }
+        it.map { case (id, text) =>
+          val toks = graft.analyze.TextAnalyzer.tokens(text).toArray
+          val n = toks.length
+          val topTok = if (n >= 1) gramCounts(toks, 1).valuesIterator.max.toDouble / n else 0.0
+          val topBi = if (n >= 2) gramCounts(toks, 2).valuesIterator.max.toDouble / (n - 1) else 0.0
+          val dupTri = if (n >= 3) {
+            val tf = gramCounts(toks, 3)
+            tf.valuesIterator.filter(_ > 1L).sum.toDouble / (n - 2)
+          } else 0.0
+          (id, n, topTok, topBi, dupTri)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "t_raw", "b_raw", "d_raw")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("t_raw"), 6).as("top_token_frac"),
+        round(col("b_raw"), 6).as("top_bigram_frac"),
+        round(col("d_raw"), 6).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** PII-style redaction patterns, applied IN ORDER (emails first so an
     * address-embedded IP or digit run is not double-counted; counts for
     * pattern i are taken AFTER replacing patterns < i). Chosen to be

@@ -422,6 +422,43 @@ class OpsSpec extends SparkFunSuite {
     assert(got(4) == ((5L, "short 12345678 is kept, <NUM> is not", 0, 0, 1)))
   }
 
+  test("repetitionSignals: brute-force parity on corpus + crafted edges") {
+    // crafted edges: degenerate loop (all fracs 1.0), unique text (dup 0),
+    // sub-k-gram docs (guarded denominators), filtered-away token (len 1)
+    val crafted = Seq(
+      (9001L, "spam spam spam spam spam"),            // 1 token repeated
+      (9002L, "aa bb aa bb aa bb aa bb"),             // period-2 loop
+      (9003L, "one two three four five six"),         // all unique
+      (9004L, "xy"),                                  // n=1: bigram/tri 0
+      (9005L, "xy zz"),                               // n=2: tri 0
+      (9006L, "a a a a"),                             // len-1 tokens filter out: n=0
+      (9007L, ""))                                    // empty
+      .toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").unionAll(crafted)
+    val got = TextOps.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute force over the same analyzer tokens
+    d.collect().foreach { row =>
+      val id = row.getLong(0)
+      val toks = graft.analyze.TextAnalyzer.tokens(row.getString(1)).toSeq
+      val n = toks.length
+      def grams(k: Int) = toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      val expTok = if (n >= 1) r6(grams(1).groupBy(identity).values.map(_.size).max.toDouble / n) else 0.0
+      val expBi = if (n >= 2) r6(grams(2).groupBy(identity).values.map(_.size).max.toDouble / (n - 1)) else 0.0
+      val expTri = if (n >= 3) r6(grams(3).groupBy(identity).values.map(_.size).filter(_ > 1).sum.toDouble / (n - 2)) else 0.0
+      assert(got(id) == ((n, expTok, expBi, expTri)), s"doc $id")
+    }
+    // the crafted laws hold literally
+    assert(got(9001L) == ((5, 1.0, 1.0, 1.0)))
+    assert(got(9002L)._3 == r6(4.0 / 7))              // "aa bb" in 4 of 7 slots
+    assert(got(9003L) == ((6, r6(1.0 / 6), r6(1.0 / 5), 0.0)))
+    assert(got(9004L) == ((1, 1.0, 0.0, 0.0)))
+    assert(got(9005L) == ((2, 0.5, 1.0, 0.0)))
+    assert(got(9006L) == ((0, 0.0, 0.0, 0.0)))
+    assert(got(9007L) == ((0, 0.0, 0.0, 0.0)))
+  }
+
   test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
     val t = Transcripts.fromDocuments(spark, sf)
     val sorted = t.select("doc_id", "conv_id", "turn_idx").collect()
