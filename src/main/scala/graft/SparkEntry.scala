@@ -268,6 +268,7 @@ object SparkEntry {
     // must equal the one-call batch operator over the full corpus
     "dedup_keepers_store" -> ((s, dir) => graft.ops.GateStoreIncr.keepers(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
+    "dedup_simhash_near" -> ((s, dir) => Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 3)),
 
     // ---- similarity search ----
     "ann_cosine_top10" -> ((s, dir) => Similarity.cosineTopK(s, dir, 0, 10)),
@@ -864,6 +865,28 @@ object SparkEntry {
         |  FROM hh, unnest(range(0, 32)) AS r(b) GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // near-dup pairs at Hamming <= 3 over the same signatures; the oracle
+    // brute-forces all pairs (exact contract, so the pigeonhole block joins
+    // must reproduce it row for row)
+    "dedup_simhash_near" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tt.term
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+        |  WHERE length(tt.term) BETWEEN 2 AND 40),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tf),
+        |bits AS (
+        |  SELECT doc_id, r.b, sum(CASE WHEN (h >> r.b) & 1 = 1 THEN tf ELSE -tf END) AS s
+        |  FROM hh, unnest(range(0, 32)) AS r(b) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
 
     "ann_cosine_top10" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

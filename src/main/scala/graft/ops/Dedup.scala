@@ -801,7 +801,10 @@ object Dedup {
 
   /** 32-bit SimHash per doc: bit b set when the tf-weighted sum of term hash
     * bits is positive. */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhash(documents: DataFrame): DataFrame =
+    simhashSigs(documents).orderBy("doc_id")
+
+  private[graft] def simhashSigs(documents: DataFrame): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -812,6 +815,53 @@ object Dedup {
       .groupBy("doc_id", "b").agg(sum("w").as("s"))
       .groupBy("doc_id")
       .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash NEAR-duplicate pairs at Hamming distance ≤ `maxHamming` —
+    * EXACT, not probabilistic (the production form of [[simhash]], which on
+    * its own only groups identical signatures): split the 32-bit signature
+    * into maxHamming+1 disjoint blocks; a pair within distance maxHamming
+    * has fewer differing bits than blocks, so BY PIGEONHOLE it agrees on at
+    * least one whole block — the block-equality self-joins have perfect
+    * recall, and the bit_count verify removes every false candidate.
+    * Blocks play the role of LSH bands (same first-colliding-block
+    * uniqueness trick as [[minhashLsh]], so no distinct over candidates);
+    * the self-join keys on (block index, block value) — a high-cardinality
+    * shuffle key, no broadcast, the same 100 TB join shape the rest of the
+    * dedup family runs. Emits (a, b, hd), a < b. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashSigs(documents), maxHamming)
+
+  /** Kernel over precomputed (doc_id, simhash) rows — split out so specs
+    * can drive constructed signatures across exact Hamming boundaries. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 8,
+      s"maxHamming must be in [0, 8] (32-bit signature, >=4-bit blocks), got $maxHamming")
+    val nBlocks = maxHamming + 1
+    // block i covers width_i bits starting at start_i; base width 32/n,
+    // the first 32%n blocks one bit wider (covers 32 bits exactly)
+    val base = 32 / nBlocks
+    val rem = 32 % nBlocks
+    val widths = (0 until nBlocks).map(i => if (i < rem) base + 1 else base)
+    val starts = widths.scanLeft(0)(_ + _)
+    def blockOf(sig: Column, i: Int): Column =
+      shiftright(sig, starts(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBlocks).map(i => blockOf(col("simhash"), i)): _*)))
+      .toDF("doc_id", "simhash", "blk", "key")
+    // first-colliding-block uniqueness: emit from block i only when every
+    // earlier block differs (cheap — both full sigs ride the joined row)
+    val firstCollide = (0 until nBlocks - 1).map { j =>
+      col("x.blk") <= j ||
+        blockOf(col("x.simhash"), j) =!= blockOf(col("y.simhash"), j)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    bands.as("x").join(bands.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(firstCollide)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hd"))
+      .filter(col("hd") <= maxHamming)
+      .orderBy("a", "b")
   }
 }

@@ -422,6 +422,44 @@ class OpsSpec extends SparkFunSuite {
     assert(got(4) == ((5L, "short 12345678 is kept, <NUM> is not", 0, 0, 1)))
   }
 
+  test("simhashPairs: exact vs brute-force Hamming; pigeonhole recall at the boundary") {
+    // corpus parity: the pigeonhole block joins must reproduce the O(n^2)
+    // bit_count filter row for row (the operator's contract is EXACT)
+    val sigs = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (ida, idb, hd)).toSet
+    val got = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+
+    // constructed boundary: distances exactly 3 (kept) and 4 (dropped), with
+    // the differing bits SPREAD so no two land in one block unless forced —
+    // plus an hd-4 pair packed into one block (candidate emitted by that
+    // block, must be verify-filtered)
+    val base = 0x5a5a5a5aL
+    val syn = Seq(
+      (1L, base),
+      (2L, base ^ ((1L << 0) | (1L << 9) | (1L << 18))),              // hd 3, spread over 3 blocks
+      (3L, base ^ ((1L << 0) | (1L << 9) | (1L << 18) | (1L << 27))), // hd 4 from base, spread over all 4
+      (4L, base ^ ((1L << 0) | (1L << 1) | (1L << 2) | (1L << 3)))    // hd 4 from base, one block
+    ).toDF("doc_id", "simhash")
+    val synGot = Dedup.simhashPairsFromSigs(syn, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val synBrute = (for {
+      (ida, sa) <- Seq((1L, base), (2L, base ^ 0x40201L), (3L, base ^ 0x8040201L), (4L, base ^ 0xfL))
+      (idb, sb) <- Seq((1L, base), (2L, base ^ 0x40201L), (3L, base ^ 0x8040201L), (4L, base ^ 0xfL))
+      if ida < idb
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (ida, idb, hd)).toSet
+    assert(synGot == synBrute)
+    assert(synGot.contains((1L, 2L, 3)))            // boundary kept
+    assert(!synGot.exists(p => p._1 == 1L && p._2 == 3L)) // hd 4 dropped
+    assert(!synGot.exists(p => p._1 == 1L && p._2 == 4L)) // candidate from one block, verify drops
+    assert(synGot.contains((2L, 3L, 1)))            // transitive neighbor kept
+  }
+
   test("repetitionSignals: brute-force parity on corpus + crafted edges") {
     // crafted edges: degenerate loop (all fracs 1.0), unique text (dup 0),
     // sub-k-gram docs (guarded denominators), filtered-away token (len 1)
