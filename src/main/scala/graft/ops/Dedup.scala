@@ -832,11 +832,41 @@ object Dedup {
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashPairsFromSigs(simhashSigs(documents), maxHamming)
 
+  /** Hot-group threshold for the block-join skew decomposition below: a
+    * group at the threshold costs ~tileRows²/2 ≈ 1.3×10⁸ codegen'd
+    * xor+popcount comparisons in one task (sub-second); anything bigger
+    * splits into bounded tile-pair tasks. */
+  private[graft] val SimhashTileRows = 16384
+
   /** Kernel over precomputed (doc_id, simhash) rows — split out so specs
-    * can drive constructed signatures across exact Hamming boundaries. */
-  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    * can drive constructed signatures across exact Hamming boundaries and
+    * force the tile decomposition with a tiny `tileRows`.
+    *
+    * Skew: a (block idx, block value) group is a self-CARTESIAN — all its
+    * pairs are candidates — and block values cluster when signatures do,
+    * so a plain self-join puts a g² task on one core the moment one group
+    * goes hot (at 10⁹ docs a 10⁶-row group is a 10¹²-comparison task).
+    * ROUTING, not blanket machinery: one count-agg finds the groups larger
+    * than `tileRows` (each such key represents > tileRows band rows, so
+    * the collected list is ≤ bandRows/tileRows entries — driver-safe by
+    * construction); the COLD groups — all of them, on healthy data — run
+    * the plain first-collide self-join untouched, and only the hot groups
+    * pay the tile join: members hash into m = ⌈g/tileRows⌉ tiles, a row
+    * joins as LEFT for tile pairs (t, t..m-1) and as RIGHT for (0..t, t),
+    * so every member pair lands in exactly one (ti, tj) task of
+    * ≤ tileRows² comparisons. A same-tile pair meets in both orders (doc
+    * order keeps one); a cross-tile pair meets once with TILE-determined
+    * sides, so pair order comes from least/greatest. Replication for a
+    * split group is ~m/2 per row — the unavoidable g²/tileRows shuffle
+    * volume of its cartesian output, same trade as [[pairBlocksFor]].
+    * Groups are entirely hot or entirely cold (group granularity), so the
+    * two pair sets are disjoint and union exactly. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+                                          tileRows: Int = SimhashTileRows): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 8,
       s"maxHamming must be in [0, 8] (32-bit signature, >=4-bit blocks), got $maxHamming")
+    require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
+    val spark = sigs.sparkSession
     val nBlocks = maxHamming + 1
     // block i covers width_i bits starting at start_i; base width 32/n,
     // the first 32%n blocks one bit wider (covers 32 bits exactly)
@@ -846,22 +876,64 @@ object Dedup {
     val starts = widths.scanLeft(0)(_ + _)
     def blockOf(sig: Column, i: Int): Column =
       shiftright(sig, starts(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+    // the signature subtree feeds BOTH sides of the self-join; unpinned it
+    // executes twice (and the simhash pipeline explodes 32 rows per
+    // doc-term). Eager localCheckpoint: 2 longs per doc, blocks freed by
+    // the ContextCleaner when the result frame goes unreachable
+    val pinned = sigs.select(col("doc_id"), col("simhash")).localCheckpoint(true)
+    val bands = pinned.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(i => blockOf(col("simhash"), i)): _*)))
       .toDF("doc_id", "simhash", "blk", "key")
     // first-colliding-block uniqueness: emit from block i only when every
     // earlier block differs (cheap — both full sigs ride the joined row)
-    val firstCollide = (0 until nBlocks - 1).map { j =>
-      col("x.blk") <= j ||
-        blockOf(col("x.simhash"), j) =!= blockOf(col("y.simhash"), j)
-    }.reduceOption(_ && _).getOrElse(lit(true))
-    bands.as("x").join(bands.as("y"),
-        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .filter(firstCollide)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hd"))
+    def firstCollide(blkC: Column, sigX: Column, sigY: Column): Column =
+      (0 until nBlocks - 1).map { j =>
+        blkC <= j || blockOf(sigX, j) =!= blockOf(sigY, j)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+    def finish(df: DataFrame): DataFrame = df
       .filter(col("hd") <= maxHamming)
-      .orderBy("a", "b")
+      .select(col("a"), col("b"), col("hd"))
+
+    val hot = bands.groupBy("blk", "key").agg(count(lit(1)).as("g"))
+      .filter(col("g") > tileRows)
+      .collect().map(r => org.apache.spark.sql.Row(r.getInt(0), r.getLong(1),
+        math.ceil(r.getLong(2).toDouble / tileRows).toInt))
+    val plainOf = { (b: DataFrame) =>
+      finish(b.as("x").join(b.as("y"),
+          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(firstCollide(col("x.blk"), col("x.simhash"), col("y.simhash")))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hd")))
+    }
+    val pairs = if (hot.isEmpty) plainOf(bands) else {
+      val hotDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(hot: _*)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("blk", org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType, false))))
+      val tagged = bands.join(broadcast(hotDf), Seq("blk", "key"), "left")
+      val cold = tagged.filter(col("m").isNull)
+        .select("doc_id", "simhash", "blk", "key")
+      val hotBands = tagged.filter(col("m").isNotNull)
+        .withColumn("t", pmod(xxhash64(col("doc_id")), col("m").cast("long")).cast("int"))
+      val left = hotBands
+        .withColumn("tj", explode(sequence(col("t"), col("m") - 1)))
+        .select(col("blk"), col("key"), col("t").as("ti"), col("tj"),
+          col("doc_id"), col("simhash"))
+      val right = hotBands
+        .withColumn("ti", explode(sequence(lit(0), col("t"))))
+        .select(col("blk"), col("key"), col("ti"), col("t").as("tj"),
+          col("doc_id").as("doc_id_y"), col("simhash").as("simhash_y"))
+      val hotPairs = finish(left.join(right, Seq("blk", "key", "ti", "tj"))
+        .filter(col("ti") =!= col("tj") || col("doc_id") < col("doc_id_y"))
+        .filter(firstCollide(col("blk"), col("simhash"), col("simhash_y")))
+        .select(least(col("doc_id"), col("doc_id_y")).as("a"),
+          greatest(col("doc_id"), col("doc_id_y")).as("b"),
+          expr("CAST(bit_count(simhash ^ simhash_y) AS INT)").as("hd")))
+      plainOf(cold).unionAll(hotPairs)
+    }
+    pairs.orderBy("a", "b")
   }
 }

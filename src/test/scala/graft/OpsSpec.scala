@@ -434,6 +434,16 @@ class OpsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == brute)
 
+    // forced hot-group routing returns the identical pair set: tileRows=8
+    // makes every group hot (cross- and same-tile paths both exercised),
+    // tileRows=60 mixes hot and cold groups through the union
+    for (tr <- Seq(8, 60)) {
+      val tiledGot = Dedup.simhashPairsFromSigs(
+          sigs.toSeq.toDF("doc_id", "simhash"), 3, tileRows = tr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(tiledGot == brute, s"tileRows=$tr")
+    }
+
     // constructed boundary: distances exactly 3 (kept) and 4 (dropped), with
     // the differing bits SPREAD so no two land in one block unless forced —
     // plus an hd-4 pair packed into one block (candidate emitted by that
