@@ -350,6 +350,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextOps.langId(s.read.parquet(s"$dir/documents.parquet"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet"))),
+    "text_dup_windows" -> ((s, dir) => TextOps.dupWindowCoverage(s.read.parquet(s"$dir/documents.parquet"), 10)),
 
     // ---- multimodal: real PNG generation -> binary column -> real header
     // decode (dims are a stated function of doc_id, so the oracle can
@@ -1103,6 +1104,30 @@ object SparkEntry {
         |    THEN CAST(coalesce(ttf.dup, 0) AS DOUBLE) / (len(b.l) - 2) ELSE 0.0 END, 6) AS dup_trigram_frac
         |FROM base b LEFT JOIN tf USING (doc_id) LEFT JOIN btf USING (doc_id)
         |  LEFT JOIN ttf USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // fixed-window exact substring dedup: a window duplicates when its
+    // 10-token string occurs at >= 2 positions corpus-wide; coverage per doc
+    "text_dup_windows" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                             t -> length(t) BETWEEN 2 AND 40) AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([array_to_string(l[i:i+9], ' ')
+        |                         FOR i IN generate_series(1, len(l) - 9)]) AS g
+        |  FROM base),
+        |cnt AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, count(*) AS nw,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS nd
+        |  FROM g JOIN cnt USING (g) GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(per.nw, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows,
+        |  round(CASE WHEN coalesce(per.nw, 0) >= 1
+        |    THEN CAST(per.nd AS DOUBLE) / per.nw ELSE 0.0 END, 6) AS dup_frac
+        |FROM base b LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // the Spark side encodes a REAL PNG per doc (ImageIO) and parses its

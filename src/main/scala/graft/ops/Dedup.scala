@@ -206,6 +206,17 @@ object Dedup {
       out
     }
 
+  /** EVERY sliding window as a string, one per position (NOT distinct —
+    * substring dedup counts occurrences, so a within-doc repeat matters);
+    * compiled for the same interpreted-lambda reason as [[shingleHashes]].
+    * Consumed by [[TextOps.dupWindowCoverage]]. */
+  private[graft] def windowStrings(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { toks: Seq[String] =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      foreachShingle(toks, n)(buf += _)
+      buf.toArray
+    }
+
   /** The one shingle-construction loop (null-safe sliding window, space
     * join) shared by the fingerprint and string UDFs — shingle semantics
     * must never diverge between the exact and LSH members. */

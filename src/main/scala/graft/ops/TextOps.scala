@@ -226,6 +226,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-window coverage — the fixed-window form of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated verbatim spans are the highest-value thing to
+    * cut before training; their suffix-array ExactSubstr generalizes to
+    * arbitrary span lengths, this member fixes the span at `window` tokens
+    * — the standard windowed approximation). Every token position opens a
+    * `window`-token sliding window; a window is DUPLICATED when its exact
+    * token string occurs at ≥ 2 positions corpus-wide (any doc, including
+    * within-doc repeats). Emits per-doc coverage (doc_id, n_windows,
+    * n_dup_windows, dup_frac) — the "how much of this doc is verbatim
+    * boilerplate" signal that token-SET dedup (jaccard/minhash members)
+    * cannot see.
+    *
+    * Shape: windows from a compiled UDF (one narrow pass), occurrence
+    * counts from ONE hash-agg on the window string, coverage from a
+    * co-partitioned join back + a doc_id agg — no self-join, no candidate
+    * blow-up; the heavy shuffle is windows ≈ tokens rows, the same volume
+    * the index builder's tokenize pass already moves. At 100 TB the window
+    * strings in the shuffle halve to xxhash64 fingerprints exactly as
+    * [[Dedup.decontaminateFast]] does (the gate keeps strings for the
+    * oracle; expected colliding window pairs ≈ W²/2⁶⁵ for W distinct
+    * windows). */
+  def dupWindowCoverage(documents: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val g = documents.select(col("doc_id"),
+      explode(Dedup.windowStrings(window)(Dedup.toks(col("text")))).as("g"))
+    val cnt = g.groupBy("g").agg(count(lit(1)).as("c"))
+    val per = g.join(cnt, "g").groupBy("doc_id").agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    // docs shorter than the window have no rows in g — they still report
+    documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(when(coalesce(col("n_windows"), lit(0L)) >= 1,
+          col("n_dup_windows").cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Contiguous sequence packing — the concatenate-and-chunk shape that
     * fills fixed-length LM training windows: documents in doc_id order form
     * one token stream; each doc's `start` is the exclusive prefix sum of

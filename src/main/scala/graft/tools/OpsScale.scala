@@ -38,6 +38,8 @@ object OpsScale {
     t("dedup_ngram_lsh")(Dedup.ngramMinhashLsh(docs, 3, 0.8).count())
     t("dedup_ngram_lsh_fast")(Dedup.ngramMinhashLshFast(docs, 3, 0.8).count())
     t("dedup_jaccard_prefix")(Dedup.jaccardPairsPrefix(docs, 0.95).count())
+    t("text_dup_windows")(graft.ops.TextOps.dupWindowCoverage(docs, 10)
+      .agg(sum("n_dup_windows")).collect()(0).getLong(0))
     t("dedup_keepers")(Dedup.keepers(docs, 0.95).count())
     if (wanted("dedup_keepers"))
       println(s"[opsscale] keepers component iterations=${Dedup.lastComponentsIters}")

@@ -470,6 +470,39 @@ class OpsSpec extends SparkFunSuite {
     assert(synGot.contains((2L, 3L, 1)))            // transitive neighbor kept
   }
 
+  test("dupWindowCoverage: brute-force parity on corpus + planted spans") {
+    val span = (1 to 12).map(i => f"planted$i%02d").mkString(" ") // 12 tokens
+    val crafted = Seq(
+      (9101L, s"unique aa1 bb2 $span tail cc3 dd4"),   // shares the span...
+      (9102L, s"other ee5 $span ff6 gg7 hh8 ii9"),     // ...with this doc
+      (9103L, ("loop once more " * 5).trim),           // within-doc repeats
+      (9104L, "way too short"))                        // n < window: 0 windows
+      .toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").unionAll(crafted)
+    val w = 10
+    val got = TextOps.dupWindowCoverage(d, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute force: global window counts, then per-doc coverage
+    val allWins = d.collect().map { row =>
+      val toks = graft.analyze.TextAnalyzer.tokens(row.getString(1)).toSeq
+      row.getLong(0) -> toks.sliding(w).filter(_.length == w).map(_.mkString(" ")).toSeq
+    }
+    val global = allWins.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    allWins.foreach { case (id, wins) =>
+      val nd = wins.count(global(_) > 1).toLong
+      val exp = (wins.size.toLong, nd,
+        if (wins.nonEmpty) r6(nd.toDouble / wins.size) else 0.0)
+      assert(got(id) == exp, s"doc $id")
+    }
+    // the planted laws hold literally: the 12-token shared span yields 3
+    // common 10-windows; each host doc also has windows straddling its own
+    // prefix/suffix, which are unique
+    assert(got(9101L)._2 == 3L && got(9102L)._2 == 3L)
+    assert(got(9103L)._1 > 0 && got(9103L)._3 == 1.0) // pure loop: all dup
+    assert(got(9104L) == ((0L, 0L, 0.0)))
+  }
+
   test("repetitionSignals: brute-force parity on corpus + crafted edges") {
     // crafted edges: degenerate loop (all fracs 1.0), unique text (dup 0),
     // sub-k-gram docs (guarded denominators), filtered-away token (len 1)
