@@ -96,6 +96,39 @@ class PlanSpec extends SparkFunSuite {
     assert(plan.contains("CoGroup"), s"block-local cogroup verify missing in:\n$plan")
   }
 
+  test("simhash near-dup block join is an equi-join (never a nested loop)") {
+    val df = graft.ops.Dedup.simhashPairs(sfDocs, 3)
+    df.collect()
+    val plan = executedPlan(df)
+    // pairs come from (block idx, block value) equi-joins — a nested loop
+    // or cartesian would mean the pigeonhole keys fell out of the plan
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi pair join in:\n$plan")
+  }
+
+  test("dup-window coverage: no self-join, counts from one hash-agg on the window") {
+    val df = graft.ops.TextOps.dupWindowCoverage(sfDocs, 10)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join in:\n$plan")
+    // occurrence counting must be aggregation, not pairwise comparison:
+    // window-keyed HashAggregates present, and only equi-joins in the plan
+    assert(plan.contains("HashAggregate"), s"hash-agg missing in:\n$plan")
+  }
+
+  test("repetition signals are a single narrow pass: no exchange before the sort") {
+    val df = graft.ops.TextOps.repetitionSignals(sfDocs)
+    df.collect()
+    val plan = executedPlan(df)
+    // per-doc frequency maps reduce in place; the only exchange allowed is
+    // the final presentation orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val ranges = "rangepartitioning".r.findAllIn(plan.toLowerCase).size
+    assert(exchanges == ranges && ranges >= 1,
+      s"non-sort exchange in repetitionSignals plan ($exchanges exchanges, $ranges range):\n$plan")
+  }
+
   test("fingerprint is a single narrow pass: no exchange in the plan") {
     val df = graft.ops.TextOps.fingerprint(sfDocs)
     df.collect()
