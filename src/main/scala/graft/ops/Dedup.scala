@@ -217,6 +217,20 @@ object Dedup {
       buf.toArray
     }
 
+  /** Every sliding window as a 64-bit xxhash64 fingerprint, one per
+    * position (the [[windowStrings]] twin for shuffles that should not
+    * carry n-token strings; NOT distinct, unlike [[shingleHashes]]).
+    * Consumed by [[TextOps.dupWindowCoverageFast]]. */
+  private[graft] def windowHashes(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { toks: Seq[String] =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      foreachShingle(toks, n) { s =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        buf += org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 42L)
+      }
+      buf.toArray
+    }
+
   /** The one shingle-construction loop (null-safe sliding window, space
     * join) shared by the fingerprint and string UDFs — shingle semantics
     * must never diverge between the exact and LSH members. */

@@ -243,15 +243,31 @@ object TextOps {
     * counts from ONE hash-agg on the window string, coverage from a
     * co-partitioned join back + a doc_id agg — no self-join, no candidate
     * blow-up; the heavy shuffle is windows ≈ tokens rows, the same volume
-    * the index builder's tokenize pass already moves. At 100 TB the window
-    * strings in the shuffle halve to xxhash64 fingerprints exactly as
-    * [[Dedup.decontaminateFast]] does (the gate keeps strings for the
-    * oracle; expected colliding window pairs ≈ W²/2⁶⁵ for W distinct
-    * windows). */
-  def dupWindowCoverage(documents: DataFrame, window: Int): DataFrame = {
+    * the index builder's tokenize pass already moves. At 100 TB use
+    * [[dupWindowCoverageFast]] — the same pipeline over xxhash64 window
+    * fingerprints (8 bytes per window in the shuffle instead of a
+    * `window`-token string); this string form is the oracle-exact gate
+    * path. */
+  def dupWindowCoverage(documents: DataFrame, window: Int): DataFrame =
+    dupCoverageOf(documents,
+      Dedup.windowStrings(window)(Dedup.toks(col("text"))), window)
+
+  /** [[dupWindowCoverage]] over xxhash64 window FINGERPRINTS instead of
+    * window strings — the 100 TB form (the heavy shuffle carries 8 bytes
+    * per window instead of a `window`-token string), same trade as
+    * [[Dedup.decontaminateFast]]: identical output up to 64-bit collisions
+    * (a collision can only over-count a duplicate; expected colliding
+    * window pairs ≈ W²/2⁶⁵ for W distinct windows corpus-wide). The gate
+    * keeps the string form so the DuckDB oracle compares exact text;
+    * OpsSpec asserts row-for-row parity of the two forms. */
+  def dupWindowCoverageFast(documents: DataFrame, window: Int): DataFrame =
+    dupCoverageOf(documents,
+      Dedup.windowHashes(window)(Dedup.toks(col("text"))), window)
+
+  private def dupCoverageOf(documents: DataFrame, windowsCol: org.apache.spark.sql.Column,
+                            window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val g = documents.select(col("doc_id"),
-      explode(Dedup.windowStrings(window)(Dedup.toks(col("text")))).as("g"))
+    val g = documents.select(col("doc_id"), explode(windowsCol).as("g"))
     val cnt = g.groupBy("g").agg(count(lit(1)).as("c"))
     val per = g.join(cnt, "g").groupBy("doc_id").agg(
       count(lit(1)).as("n_windows"),

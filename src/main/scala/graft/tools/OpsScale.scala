@@ -40,6 +40,8 @@ object OpsScale {
     t("dedup_jaccard_prefix")(Dedup.jaccardPairsPrefix(docs, 0.95).count())
     t("text_dup_windows")(graft.ops.TextOps.dupWindowCoverage(docs, 10)
       .agg(sum("n_dup_windows")).collect()(0).getLong(0))
+    t("text_dup_windows_fast")(graft.ops.TextOps.dupWindowCoverageFast(docs, 10)
+      .agg(sum("n_dup_windows")).collect()(0).getLong(0))
     t("dedup_keepers")(Dedup.keepers(docs, 0.95).count())
     if (wanted("dedup_keepers"))
       println(s"[opsscale] keepers component iterations=${Dedup.lastComponentsIters}")

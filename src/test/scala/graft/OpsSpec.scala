@@ -501,6 +501,11 @@ class OpsSpec extends SparkFunSuite {
     assert(got(9101L)._2 == 3L && got(9102L)._2 == 3L)
     assert(got(9103L)._1 > 0 && got(9103L)._3 == 1.0) // pure loop: all dup
     assert(got(9104L) == ((0L, 0L, 0.0)))
+
+    // the fingerprinted 100 TB form returns the identical coverage table
+    val fast = TextOps.dupWindowCoverageFast(d, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(fast == got)
   }
 
   test("repetitionSignals: brute-force parity on corpus + crafted edges") {
