@@ -269,6 +269,7 @@ object SparkEntry {
     "dedup_keepers_store" -> ((s, dir) => graft.ops.GateStoreIncr.keepers(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
     "dedup_simhash_near" -> ((s, dir) => Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 3)),
+    "dedup_simhash_near_wide" -> ((s, dir) => Dedup.simhashPairsWide(s.read.parquet(s"$dir/documents.parquet"), 3)),
 
     // ---- similarity search ----
     "ann_cosine_top10" -> ((s, dir) => Similarity.cosineTopK(s, dir, 0, 10)),
@@ -880,6 +881,27 @@ object SparkEntry {
         |bits AS (
         |  SELECT doc_id, r.b, sum(CASE WHEN (h >> r.b) & 1 = 1 THEN tf ELSE -tf END) AS s
         |  FROM hh, unnest(range(0, 32)) AS r(b) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
+    // the 60-bit production-width form (15 md5 hex chars; h32's 7 chars are
+    // only 28 bits, leaving sig bits 28-31 dead — see Dedup.h60)
+    "dedup_simhash_near_wide" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tt.term
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tt(term)
+        |  WHERE length(tt.term) BETWEEN 2 AND 40),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |hh AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tf),
+        |bits AS (
+        |  SELECT doc_id, r.b, sum(CASE WHEN (h >> r.b) & 1 = 1 THEN tf ELSE -tf END) AS s
+        |  FROM hh, unnest(range(0, 60)) AS r(b) GROUP BY 1, 2),
         |sigs AS (
         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bits GROUP BY 1)

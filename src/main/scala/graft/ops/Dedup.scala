@@ -513,6 +513,15 @@ object Dedup {
     * BIGINT)), keeping the oracle bit-identical. */
   def h32(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
+  /** 60-bit md5-derived term hash (15 hex chars — stays inside a signed
+    * long). The [[h32]] twin for the wide simhash family: h32's 7 hex chars
+    * are only 28 bits, so "32-bit" signature bits 28-31 are identically
+    * zero — harmless for signature EQUALITY (dedup_simhash), but it
+    * degrades the near-dup block join's key balance (the top block spans
+    * the dead bits; the sf0.1 gate corpus packs it into 16 distinct
+    * values). */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   def hashA(j: Int): Long = (1664525L * (j + 1) + 1013904223L) % MinhashP
   def hashB(j: Int): Long = (22695477L * (j + 1) + 12345L) % MinhashP
 
@@ -825,17 +834,25 @@ object Dedup {
     keepersFromPairs(documents, minhashLsh(documents, threshold))
 
   /** 32-bit SimHash per doc: bit b set when the tf-weighted sum of term hash
-    * bits is positive. */
+    * bits is positive. (The term hash is [[h32]]'s 28 bits, so sig bits
+    * 28-31 are always 0 — fine for the equality contract this member has
+    * always had; [[simhashWide]] is the near-dup-grade signature.) */
   def simhash(documents: DataFrame): DataFrame =
     simhashSigs(documents).orderBy("doc_id")
 
-  private[graft] def simhashSigs(documents: DataFrame): DataFrame = {
+  /** 60-bit SimHash per doc over [[h60]] term hashes — the production-width
+    * signature (no dead bits, balanced pigeonhole blocks). */
+  def simhashWide(documents: DataFrame): DataFrame =
+    simhashSigs(documents, bits = 60, h = h60).orderBy("doc_id")
+
+  private[graft] def simhashSigs(documents: DataFrame, bits: Int = 32,
+                                 h: Column => Column = h32): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", h32(col("term")))
+      .withColumn("h", h(col("term")))
     tf.select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
       .withColumn("w", expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN tf ELSE -tf END"))
       .groupBy("doc_id", "b").agg(sum("w").as("s"))
       .groupBy("doc_id")
@@ -856,6 +873,16 @@ object Dedup {
     * dedup family runs. Emits (a, b, hd), a < b. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashPairsFromSigs(simhashSigs(documents), maxHamming)
+
+  /** [[simhashPairs]] over the 60-bit [[simhashWide]] signature — the form
+    * a web-scale run wants: h32's dead top bits make one 32-bit block span
+    * only 16 possible values (every doc lands in one of 16 join groups
+    * regardless of corpus size), while 60 live bits give every block ≥ 2¹²
+    * values and a far sharper Hamming threshold (3 differing bits out of 60
+    * is a much closer match than 3 of 28). Same exact pigeonhole contract. */
+  def simhashPairsWide(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashSigs(documents, bits = 60, h = h60), maxHamming,
+      bits = 60)
 
   /** Hot-group threshold for the block-join skew decomposition below: a
     * group at the threshold costs ~tileRows²/2 ≈ 1.3×10⁸ codegen'd
@@ -887,16 +914,19 @@ object Dedup {
     * Groups are entirely hot or entirely cold (group granularity), so the
     * two pair sets are disjoint and union exactly. */
   private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
-                                          tileRows: Int = SimhashTileRows): DataFrame = {
+                                          tileRows: Int = SimhashTileRows,
+                                          bits: Int = 32): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 8,
-      s"maxHamming must be in [0, 8] (32-bit signature, >=4-bit blocks), got $maxHamming")
+      s"maxHamming must be in [0, 8] (>=4-bit blocks at 32-bit width), got $maxHamming")
     require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
+    require(bits >= maxHamming + 1 && bits <= 63,
+      s"bits must be in [maxHamming+1, 63], got $bits")
     val spark = sigs.sparkSession
     val nBlocks = maxHamming + 1
-    // block i covers width_i bits starting at start_i; base width 32/n,
-    // the first 32%n blocks one bit wider (covers 32 bits exactly)
-    val base = 32 / nBlocks
-    val rem = 32 % nBlocks
+    // block i covers width_i bits starting at start_i; base width bits/n,
+    // the first bits%n blocks one bit wider (covers every bit exactly)
+    val base = bits / nBlocks
+    val rem = bits % nBlocks
     val widths = (0 until nBlocks).map(i => if (i < rem) base + 1 else base)
     val starts = widths.scanLeft(0)(_ + _)
     def blockOf(sig: Column, i: Int): Column =

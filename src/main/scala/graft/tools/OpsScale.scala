@@ -34,6 +34,7 @@ object OpsScale {
     t("dedup_exact")(Dedup.exact(docs).count())
     t("dedup_simhash")(Dedup.simhash(docs).count())
     t("dedup_simhash_near")(Dedup.simhashPairs(docs, 3).count())
+    t("dedup_simhash_near_wide")(Dedup.simhashPairsWide(docs, 3).count())
     t("dedup_minhash_lsh")(Dedup.minhashLsh(docs, 0.95).count())
     t("dedup_ngram_lsh")(Dedup.ngramMinhashLsh(docs, 3, 0.8).count())
     t("dedup_ngram_lsh_fast")(Dedup.ngramMinhashLshFast(docs, 3, 0.8).count())

@@ -434,6 +434,21 @@ class OpsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == brute)
 
+    // the 60-bit wide form holds the same exact contract over its own
+    // signatures (and its blocks have no dead bits — see Dedup.h60)
+    val wideSigs = Dedup.simhashWide(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wideSigs.forall { case (_, s) => s >= 0 && s < (1L << 60) })
+    val wideBrute = (for {
+      (ida, sa) <- wideSigs; (idb, sb) <- wideSigs if ida < idb
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (ida, idb, hd)).toSet
+    val wideGot = Dedup.simhashPairsWide(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wideGot == wideBrute)
+    // 3 bits of 60 is a sharper threshold than 3 of 28 live bits: the wide
+    // pair set must not exceed the narrow one on the same corpus
+    assert(wideGot.size <= got.size)
+
     // forced hot-group routing returns the identical pair set: tileRows=8
     // makes every group hot (cross- and same-tile paths both exercised),
     // tileRows=60 mixes hot and cold groups through the union
