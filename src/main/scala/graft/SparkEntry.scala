@@ -352,6 +352,13 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"))),
     "text_repetition" -> ((s, dir) => TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet"))),
     "text_dup_windows" -> ((s, dir) => TextOps.dupWindowCoverage(s.read.parquet(s"$dir/documents.parquet"), 10)),
+    // reference slice = deterministic 30% of docs (doc_id % 10 < 3); the
+    // operator takes ANY train frame — a production run passes its curated
+    // reference corpus (the CCNet shape)
+    "text_lm_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.lmScore(docs.where(org.apache.spark.sql.functions.col("doc_id") % 10 < 3), docs)
+    }),
 
     // ---- multimodal: real PNG generation -> binary column -> real header
     // decode (dims are a stated function of doc_id, so the oracle can
@@ -1149,6 +1156,45 @@ object SparkEntry {
         |  CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_windows,
         |  round(CASE WHEN coalesce(per.nw, 0) >= 1
         |    THEN CAST(per.nd AS DOUBLE) / per.nw ELSE 0.0 END, 6) AS dup_frac
+        |FROM base b LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // bigram-LM score vs the doc_id%10<3 reference slice; per-position
+    // probabilities quantized to micro-integers in BOTH engines (see
+    // TextOps.lmScore scaladoc) so the per-doc sum is order-free
+    "text_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                             t -> length(t) BETWEEN 2 AND 40) AS l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS term FROM base),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(l[i:i+1], ' ') FOR i IN generate_series(1, len(l) - 1)]) AS big,
+        |    unnest([l[i] FOR i IN generate_series(1, len(l) - 1)]) AS prev,
+        |    unnest([l[i+1] FOR i IN generate_series(1, len(l) - 1)]) AS cur
+        |  FROM base),
+        |c1 AS (SELECT term, count(*) AS c1 FROM tok WHERE doc_id % 10 < 3 GROUP BY 1),
+        |c2 AS (SELECT big, count(*) AS c2 FROM big WHERE doc_id % 10 < 3 GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM tok WHERE doc_id % 10 < 3),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c2.c2 IS NOT NULL THEN CAST(round(1000000.0 * c2.c2 / c1p.c1) AS BIGINT)
+        |         WHEN c1c.c1 IS NOT NULL THEN CAST(round(400000.0 * c1c.c1 / (SELECT t FROM tot)) AS BIGINT)
+        |         ELSE 0 END AS p_micro,
+        |    CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    CASE WHEN c1c.c1 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM big b
+        |  LEFT JOIN c2 USING (big)
+        |  LEFT JOIN c1 c1p ON b.prev = c1p.term
+        |  LEFT JOIN c1 c1c ON b.cur = c1c.term),
+        |per AS (SELECT doc_id, count(*) AS nb, sum(hit) AS nh, sum(oov) AS no, sum(p_micro) AS sp
+        |        FROM sc GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+        |  round(CASE WHEN per.nb >= 1 THEN CAST(per.nh AS DOUBLE) / per.nb ELSE 0.0 END, 6) AS hit_frac,
+        |  round(CASE WHEN per.nb >= 1 THEN CAST(per.no AS DOUBLE) / per.nb ELSE 0.0 END, 6) AS oov_frac,
+        |  CAST(round(CASE WHEN per.nb >= 1 THEN CAST(per.sp AS DOUBLE) / per.nb ELSE 0.0 END) AS BIGINT) AS lm_micro
         |FROM base b LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

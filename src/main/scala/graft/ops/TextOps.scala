@@ -283,6 +283,91 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Reference-trained bigram language-model score — the CCNet-shaped
+    * quality signal: how predictable is each document under a Stupid-Backoff
+    * bigram LM estimated on a REFERENCE corpus (`train`)? CCNet/Gopher-style
+    * pipelines use exactly this to rank web text against a trusted domain;
+    * here the LM is count-based (no external model, fully deterministic):
+    *
+    *   P(cur | prev) = c2(prev,cur) / c1(prev)          bigram seen in train
+    *                 = 0.4 · c1(cur) / T                 backoff (unseen bigram)
+    *                 = 0                                 cur not in train vocab
+    *
+    * Per doc: `n_bigrams`, `hit_frac` (positions whose bigram the reference
+    * knows), `oov_frac` (positions whose token the reference has never
+    * seen), `lm_micro` (mean conditional probability in micro units —
+    * higher = more reference-like; a perplexity in probability space, kept
+    * log-free so the arithmetic stays exactly reproducible across engines).
+    *
+    * Determinism at any parallelism: each position's probability is
+    * quantized to an integer micro-probability (round(1e6·p) — one exact
+    * integer product, one IEEE division, one half-up round, identical in
+    * Spark and DuckDB), so the per-doc reduction is a LONG sum —
+    * associative, commutative, partition-order-free. Summing raw doubles
+    * would make the gate hash depend on task scheduling. The mean itself
+    * also stays in INTEGER micro units: sum_p/(n·10⁶) rounded to 6 decimals
+    * is a 7-place terminating decimal by construction (e.g. 0.0327465),
+    * exactly where Spark's decimal-string HALF_UP and DuckDB's
+    * binary-value rounding disagree — measured at sf0.1 doc 672; integer
+    * .5 edges are binary-exact, so round(sum_p/n) agrees everywhere.
+    *
+    * Shape at 100 TB: two hash-aggs over the reference tokens build c1/c2;
+    * scoring is bigram-explode (compiled UDF, narrow) + equi-joins keyed on
+    * the bigram / term (high-cardinality keys — sort-merge at scale, AQE
+    * skew-split absorbs stopword-bigram heat) + one hash-agg by doc_id. The
+    * corpus total T rides a single-row broadcast. No self-joins, no
+    * driver-side state; shuffle volume ≈ token count, the same volume the
+    * tokenize pass already moves. */
+  def lmScore(train: DataFrame, documents: DataFrame): DataFrame = {
+    val bigrams = Dedup.windowStrings(2)(Dedup.toks(col("text")))
+    val trainToks = train.select(explode(Dedup.toks(col("text"))).as("term"))
+    val c1 = trainToks.groupBy("term").agg(count(lit(1)).as("c1"))
+    val c2 = train.select(explode(bigrams).as("big"))
+      .groupBy("big").agg(count(lit(1)).as("c2"))
+    val total = trainToks.agg(count(lit(1)).as("t_total")) // 1 row
+
+    val big = documents
+      .select(col("doc_id"), explode(bigrams).as("big"))
+      // tokens are [a-z0-9]+, so the bigram string has exactly one space
+      .withColumn("prev", substring_index(col("big"), " ", 1))
+      .withColumn("cur", substring_index(col("big"), " ", -1))
+      .join(c2, Seq("big"), "left")
+    // a train bigram implies prev is in the train vocab: inner join is safe
+    val hits = big.where(col("c2").isNotNull)
+      .join(c1.toDF("prev", "c1p"), Seq("prev"))
+      .select(col("doc_id"),
+        round(lit(1000000.0) * col("c2") / col("c1p")).cast("long").as("p_micro"),
+        lit(1L).as("hit"), lit(0L).as("oov"))
+    val misses = big.where(col("c2").isNull)
+      .join(c1.toDF("cur", "c1c"), Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        when(col("c1c").isNotNull,
+          round(lit(400000.0) * col("c1c") / col("t_total")).cast("long"))
+          .otherwise(lit(0L)).as("p_micro"),
+        lit(0L).as("hit"),
+        when(col("c1c").isNull, lit(1L)).otherwise(lit(0L)).as("oov"))
+    val per = hits.unionByName(misses).groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum("hit").as("n_hit"),
+      sum("oov").as("n_oov"),
+      sum("p_micro").as("sum_p"))
+    // docs with < 2 tokens have no bigram rows — they still report
+    documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") >= 1,
+          col("n_hit").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)), 6).as("hit_frac"),
+        round(when(col("n_bigrams") >= 1,
+          col("n_oov").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)), 6).as("oov_frac"),
+        round(when(col("n_bigrams") >= 1,
+          col("sum_p").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0))).cast("long").as("lm_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Contiguous sequence packing — the concatenate-and-chunk shape that
     * fills fixed-length LM training windows: documents in doc_id order form
     * one token stream; each doc's `start` is the exclusive prefix sum of

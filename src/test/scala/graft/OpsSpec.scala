@@ -560,6 +560,57 @@ class OpsSpec extends SparkFunSuite {
     assert(got(9007L) == ((0, 0.0, 0.0, 0.0)))
   }
 
+  test("lmScore: brute-force parity vs a locally-trained backoff LM + crafted edges") {
+    // train slice = doc_id % 10 < 3; craft ids on both sides of the split:
+    // a doc IN the reference, a verbatim copy OUTSIDE it (all bigrams hit,
+    // p=1), an all-OOV doc, and a 1-token doc (no bigrams)
+    val crafted = Seq(
+      (9202L, "zzqq1 zzqq2 zzqq3 zzqq4"), // %10=2: in the reference slice
+      (9209L, "zzqq1 zzqq2 zzqq3 zzqq4"), // %10=9: scored copy of the above
+      (9217L, "qqxx1 qqxx2 qqxx3"),       // tokens the reference never saw
+      (9218L, "solo"))                    // 1 token: zero bigrams
+      .toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").unionAll(crafted)
+    val train = d.where(col("doc_id") % 10 < 3)
+    val got = TextOps.lmScore(train, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute force: count-based Stupid-Backoff bigram LM over the same tokens
+    val all = d.collect().map(row =>
+      row.getLong(0) -> graft.analyze.TextAnalyzer.tokens(row.getString(1)).toSeq)
+    val trainSeqs = all.filter(_._1 % 10 < 3)
+    val c1 = trainSeqs.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c2 = trainSeqs.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tTot = trainSeqs.map(_._2.length.toLong).sum
+    all.foreach { case (id, toks) =>
+      val bigs = toks.sliding(2).filter(_.length == 2).toSeq
+      val n = bigs.size.toLong
+      if (n == 0) assert(got(id) == ((0L, 0.0, 0.0, 0L)), s"doc $id")
+      else {
+        var nh = 0L; var no = 0L; var sp = 0L
+        bigs.foreach { bg =>
+          c2.get(bg.mkString(" ")) match {
+            case Some(cb) => nh += 1; sp += math.round(1000000.0 * cb / c1(bg.head))
+            case None => c1.get(bg(1)) match {
+              case Some(cc) => sp += math.round(400000.0 * cc / tTot)
+              case None => no += 1
+            }
+          }
+        }
+        assert(got(id) == ((n, r6(nh.toDouble / n), r6(no.toDouble / n),
+          math.round(sp.toDouble / n))), s"doc $id")
+      }
+    }
+    // the crafted laws hold literally
+    assert(got(9209L) == ((3L, 1.0, 0.0, 1000000L))) // reference knows every step
+    assert(got(9217L) == ((2L, 0.0, 1.0, 0L))) // reference never saw any token
+    assert(got(9218L) == ((0L, 0.0, 0.0, 0L)))
+    // corpus sanity: the reference slice is 30% of same-generator docs, so
+    // scored docs should mostly be predictable (some hits somewhere)
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
     val t = Transcripts.fromDocuments(spark, sf)
     val sorted = t.select("doc_id", "conv_id", "turn_idx").collect()

@@ -117,6 +117,21 @@ class PlanSpec extends SparkFunSuite {
     assert(plan.contains("HashAggregate"), s"hash-agg missing in:\n$plan")
   }
 
+  test("lmScore joins on the bigram/term keys; only the 1-row total broadcasts") {
+    val df = graft.ops.TextOps.lmScore(
+      sfDocs.where(col("doc_id") % 10 < 3), sfDocs)
+    df.collect()
+    val plan = executedPlan(df)
+    // scoring joins key on high-cardinality (big, term) — they must stay
+    // equi-joins; the only permissible nested-loop is the crossJoin with
+    // the single-row corpus total
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).length
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (expected only the 1-row total) in:\n$plan")
+    assert(plan.contains("HashAggregate"), s"count-agg missing in:\n$plan")
+  }
+
   test("repetition signals are a single narrow pass: no exchange before the sort") {
     val df = graft.ops.TextOps.repetitionSignals(sfDocs)
     df.collect()
