@@ -231,6 +231,28 @@ object Dedup {
       buf.toArray
     }
 
+  /** Every bigram position as the triple (xxh64(prev+" "+cur), xxh64(prev),
+    * xxh64(cur)) — the aligned fingerprints [[TextOps.lmScoreFast]] needs to
+    * join the bigram AND both unigram count tables from one explode (the
+    * string form recovers prev/cur by splitting the bigram; a fingerprint
+    * is not splittable, so the triple ships all three). Seed 42 = the
+    * xxhash64 column function, so the keys match hashes of the train-side
+    * strings; each token hashes once, not once per bigram. */
+  private[graft] val bigramHashTriples
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { toks: Seq[String] =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      import org.apache.spark.unsafe.types.UTF8String
+      if (toks == null || toks.length < 2) Array.empty[(Long, Long, Long)]
+      else {
+        val th = toks.map(t => XXH64.hashUTF8String(UTF8String.fromString(t), 42L)).toArray
+        Array.tabulate(toks.length - 1) { i =>
+          val b = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+          (XXH64.hashUTF8String(b, 42L), th(i), th(i + 1))
+        }
+      }
+    }
+
   /** The one shingle-construction loop (null-safe sliding window, space
     * join) shared by the fingerprint and string UDFs — shingle semantics
     * must never diverge between the exact and LSH members. */

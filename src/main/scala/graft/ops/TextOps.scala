@@ -317,7 +317,9 @@ object TextOps {
     * skew-split absorbs stopword-bigram heat) + one hash-agg by doc_id. The
     * corpus total T rides a single-row broadcast. No self-joins, no
     * driver-side state; shuffle volume ≈ token count, the same volume the
-    * tokenize pass already moves. */
+    * tokenize pass already moves. At 100 TB use [[lmScoreFast]] — the same
+    * pipeline over xxhash64 key fingerprints; this string form is the
+    * oracle-exact gate path. */
   def lmScore(train: DataFrame, documents: DataFrame): DataFrame = {
     val bigrams = Dedup.windowStrings(2)(Dedup.toks(col("text")))
     val trainToks = train.select(explode(Dedup.toks(col("text"))).as("term"))
@@ -332,14 +334,50 @@ object TextOps {
       .withColumn("prev", substring_index(col("big"), " ", 1))
       .withColumn("cur", substring_index(col("big"), " ", -1))
       .join(c2, Seq("big"), "left")
+    scoreBigrams(documents, big,
+      c1.toDF("prev", "c1p"), c1.toDF("cur", "c1c"), total)
+  }
+
+  /** [[lmScore]] over xxhash64 FINGERPRINTS of the bigram and term join
+    * keys instead of their strings — the 100 TB form (the count tables and
+    * the scoring shuffle carry 8-byte longs instead of token text), the
+    * same trade as [[Dedup.decontaminateFast]] / [[dupWindowCoverageFast]]:
+    * identical output up to 64-bit collisions (a colliding bigram/term can
+    * only borrow the other's count; expected colliding key pairs ≈ V²/2⁶⁵
+    * for V distinct keys). The gate keeps the string form so the DuckDB
+    * oracle compares exact text; OpsSpec asserts row-for-row parity. */
+  def lmScoreFast(train: DataFrame, documents: DataFrame): DataFrame = {
+    val toks = Dedup.toks(col("text"))
+    val trainTerms = train.select(explode(toks).as("term"))
+      .select(xxhash64(col("term")).as("term"))
+    val c1 = trainTerms.groupBy("term").agg(count(lit(1)).as("c1"))
+    val c2 = train.select(explode(Dedup.windowHashes(2)(toks)).as("big"))
+      .groupBy("big").agg(count(lit(1)).as("c2"))
+    val total = trainTerms.agg(count(lit(1)).as("t_total")) // 1 row
+    val big = documents
+      .select(col("doc_id"), explode(Dedup.bigramHashTriples(toks)).as("x"))
+      .select(col("doc_id"), col("x._1").as("big"),
+        col("x._2").as("prev"), col("x._3").as("cur"))
+      .join(c2, Seq("big"), "left")
+    scoreBigrams(documents, big,
+      c1.toDF("prev", "c1p"), c1.toDF("cur", "c1c"), total)
+  }
+
+  /** The key-type-agnostic scoring tail shared by [[lmScore]] (string keys)
+    * and [[lmScoreFast]] (fingerprint keys): `big` carries one row per
+    * bigram position (doc_id, prev, cur, c2-or-null); c1p/c1c are the
+    * unigram count table keyed as (prev, c1p) / (cur, c1c). */
+  private def scoreBigrams(documents: DataFrame, big: DataFrame,
+                           c1p: DataFrame, c1c: DataFrame,
+                           total: DataFrame): DataFrame = {
     // a train bigram implies prev is in the train vocab: inner join is safe
     val hits = big.where(col("c2").isNotNull)
-      .join(c1.toDF("prev", "c1p"), Seq("prev"))
+      .join(c1p, Seq("prev"))
       .select(col("doc_id"),
         round(lit(1000000.0) * col("c2") / col("c1p")).cast("long").as("p_micro"),
         lit(1L).as("hit"), lit(0L).as("oov"))
     val misses = big.where(col("c2").isNull)
-      .join(c1.toDF("cur", "c1c"), Seq("cur"), "left")
+      .join(c1c, Seq("cur"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         when(col("c1c").isNotNull,

@@ -43,6 +43,13 @@ object OpsScale {
       .agg(sum("n_dup_windows")).collect()(0).getLong(0))
     t("text_dup_windows_fast")(graft.ops.TextOps.dupWindowCoverageFast(docs, 10)
       .agg(sum("n_dup_windows")).collect()(0).getLong(0))
+    // LM score: reference slice = 30% of the corpus (the gate's split law)
+    t("text_lm_score")(graft.ops.TextOps
+      .lmScore(docs.where(col("doc_id") % 10 < 3), docs)
+      .agg(sum("n_bigrams")).collect()(0).getLong(0))
+    t("text_lm_score_fast")(graft.ops.TextOps
+      .lmScoreFast(docs.where(col("doc_id") % 10 < 3), docs)
+      .agg(sum("n_bigrams")).collect()(0).getLong(0))
     t("dedup_keepers")(Dedup.keepers(docs, 0.95).count())
     if (wanted("dedup_keepers"))
       println(s"[opsscale] keepers component iterations=${Dedup.lastComponentsIters}")

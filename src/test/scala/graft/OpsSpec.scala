@@ -609,6 +609,12 @@ class OpsSpec extends SparkFunSuite {
     // corpus sanity: the reference slice is 30% of same-generator docs, so
     // scored docs should mostly be predictable (some hits somewhere)
     assert(got.values.map(_._2).sum > 0)
+
+    // fingerprinted fast path: identical output row-for-row (same corpus +
+    // crafted edges — the collision odds at this vocab are ~V²/2⁶⁵ ≈ 0)
+    val fast = TextOps.lmScoreFast(train, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(fast == got)
   }
 
   test("documents->transcripts derivation: rank order == doc_id (docId invariant)") {
