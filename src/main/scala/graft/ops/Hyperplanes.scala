@@ -47,6 +47,31 @@ object Hyperplanes {
       when(dotCol(emb, bits, dim, j) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
+  /** Signature bucket as a compiled UDF — the per-row twin of [[bucketCol]]
+    * for hot paths: Spark evaluates the aggregate/zip_with lambdas in
+    * [[bucketCol]] INTERPRETED per element, so the declarative form pays an
+    * interpreter loop over bits × dim for every row. Fold order and FP shape
+    * are identical (dim-ascending double sum, 0.0 init, strict > 0), so the
+    * bucket values are bit-identical — [[bucketCol]] stays as the
+    * documentation/oracle-mirror form and for spec cross-checks. */
+  def bucketUdf(bits: Int, dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val s = signs(bits, dim) // driver-computed constant matrix in the closure
+    udf { emb: Seq[Float] =>
+      val v = emb.toArray
+      var sig = 0
+      var j = 0
+      while (j < bits) {
+        val sj = s(j)
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) { dot += v(d).toDouble * sj(d); d += 1 }
+        if (dot > 0) sig |= 1 << j
+        j += 1
+      }
+      sig
+    }
+  }
+
   /** Driver-side signature of one vector (same matrix, same fold order). */
   def signatureOf(v: Array[Float], bits: Int): Int = {
     val s = signs(bits, v.length)

@@ -27,23 +27,58 @@ object Multimodal {
   private[graft] def gateHeight(docId: Long): Int = 16 + (docId % 23).toInt
 
   /** Deterministic real PNG bytes: a gateWidth×gateHeight RGB image whose
-    * pixels are a function of (doc_id, x, y). Runs per executor task —
-    * BufferedImage + ImageIO are headless-safe JDK code. */
+    * pixels are a function of (doc_id, x, y) — the same
+    * `(docId * 2654435761 + 31x + y) & 0xffffff` law the BufferedImage
+    * form wrote via setRGB. Encoded DIRECTLY (signature + IHDR + one
+    * deflated IDAT + IEND, real zlib + CRC32): ImageIO.write's plugin
+    * machinery (writer lookup, ImageOutputStream, per-scanline filtering)
+    * cost ~0.2 ms per tiny image and dominated the gate's generation side;
+    * the output is still a spec-valid PNG — MultimodalSpec ImageIO-decodes
+    * it and cross-checks the dimensions. */
   private[graft] def pngBytes(docId: Long): Array[Byte] = {
     val w = gateWidth(docId); val h = gateHeight(docId)
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // raw scanlines: PNG filter byte 0 + RGB triples
+    val raw = new Array[Byte](h * (1 + 3 * w))
     var y = 0
+    var p = 0
     while (y < h) {
+      raw(p) = 0; p += 1
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (docId * 2654435761L + x * 31 + y).toInt & 0xffffff)
+        val v = (docId * 2654435761L + x * 31 + y).toInt & 0xffffff
+        raw(p) = (v >> 16).toByte
+        raw(p + 1) = ((v >> 8) & 0xff).toByte
+        raw(p + 2) = (v & 0xff).toByte
+        p += 3
         x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val o = new java.io.ByteArrayOutputStream(comp.size + 64)
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(o.write)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      be32w(o, body.length)
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(body)
+      o.write(t, 0, t.length)
+      o.write(body, 0, body.length)
+      be32w(o, crc.getValue.toInt)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    be32w(ihdr, w); be32w(ihdr, h)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    o.toByteArray
   }
 
   /** documents + a real PNG `media` binary column (the gate's image corpus). */
@@ -150,10 +185,25 @@ object Multimodal {
   /** Gate pipeline: real PNG generation -> binary column -> real header
     * decode. Output restricted to the oracle-computable columns (dims are a
     * stated function of doc_id; n_bytes/sha depend on the PNG encoder's
-    * byte stream and are asserted in MultimodalSpec instead). */
-  def extractMeta(spark: SparkSession, documents: DataFrame): DataFrame =
-    decodeMeta(spark, withImageBlob(documents))
-      .select(col("doc_id"), col("fmt"), col("width"), col("height"), col("frames"))
+    * byte stream and are asserted in MultimodalSpec instead).
+    *
+    * Decodes through a slim header-only batch (NOT [[decodeBatch]]): the
+    * mapPartitions is opaque to Catalyst, so the select above could never
+    * prune the SHA-256 content hash decodeBatch computes per blob — work
+    * this gate's output provably discards (guide §2.3 "project before
+    * opaque operations"; decodeMeta keeps the hash for consumers that want
+    * it). */
+  def extractMeta(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    withImageBlob(documents).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, w, h, fr) = parseImageHeader(bytes)
+        (id, fmt, w, h, fr)
+      })
+      .toDF("doc_id", "fmt", "width", "height", "frames")
+      .orderBy("doc_id")
+  }
 
   // ---- audio / video containers (WAV RIFF, MP4 ISO-BMFF) --------------
 

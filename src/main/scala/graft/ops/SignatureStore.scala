@@ -68,17 +68,16 @@ object SignatureStore {
     * rewrites its own batch_id partition(s). */
   def append(spark: SparkSession, batchDocs: DataFrame, dir: String,
              batchId: Long): Unit = {
-    val sets = batchDocs.select(col("doc_id"),
-        array_sort(array_distinct(Dedup.toks(col("text")))).as("ts"))
+    import spark.implicits._
+    val sets = batchDocs.select(col("doc_id"), Dedup.tokenSetC(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
-    val tok = sets.select(col("doc_id"), explode(col("ts")).as("term"))
-      .withColumn("h", Dedup.h32(col("term")))
-    val hashes = (0 until Dedup.NumHashes).map { j =>
-      min((col("h") * Dedup.hashA(j) + Dedup.hashB(j)) % Dedup.MinhashP).as(s"mh$j")
-    }
-    val mh = tok.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
-      .select(col("doc_id"),
-        array((0 until Dedup.NumHashes).map(j => col(s"mh$j")): _*).as("mhs"))
+    // signatures via the shared compiled kernel (Dedup.minhashOfTerms —
+    // value-identical to the former explode + 16-column min-agg, see
+    // Dedup.affineMins): one narrow pass over the batch, no token explode,
+    // no extra shuffle at append time
+    val mh = sets.as[(Long, Array[String])]
+      .map { case (id, ts) => (id, Dedup.minhashOfTerms(ts)) }
+      .toDF("doc_id", "mhs")
     mh.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$dir/signatures")

@@ -13,22 +13,49 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot/norm computed in double via codegen'd higher-order functions. */
-  private def dotCols = expr(
-    "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-  private def norm(c: String) = expr(
-    s"sqrt(aggregate($c, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+  /** Compiled cosine of two float vectors as a UDF — Spark evaluates the
+    * former `aggregate(zip_with(...))` higher-order lambdas INTERPRETED per
+    * element, which dominated the scan (guide §1.2 per-task work). FP shape
+    * is unchanged and oracle-identical: dim-ascending double folds with 0.0
+    * init (widen-then-multiply), cos grouped as dot / (‖a‖·‖b‖) — exactly
+    * [[cosineOf]], which the block-pair kernel has always used. */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var d = 0
+    while (d < a.length) {
+      val x = a(d).toDouble; val y = b(d).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      d += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
-  /** Exact cosine top-k of `queryVecId`'s embedding against all others. */
+  /** Exact cosine top-k of `queryVecId`'s embedding against all others.
+    * The query vector is collected driver-side and rides into the kernel
+    * closure (the IvfIndex.queryCandidates shape) instead of the previous
+    * 1-row crossJoin(broadcast): same values, but the plan is a single
+    * scan + project + TakeOrdered — no BroadcastExchange, no second scan
+    * branch for the query row. */
   def cosineTopK(spark: SparkSession, sfDir: String, queryVecId: Long, k: Int): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val q = emb.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("b"))
+    val qRow = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).limit(1).collect()
+    if (qRow.isEmpty) // missing query vector: empty result, stable schema
+      return emb.limit(0).select(col("vec_id"), col("label"), lit(0.0).as("cos"))
+    val qB = spark.sparkContext.broadcast(qRow(0).getSeq[Float](0).toArray)
+    val cosQ = udf { a: Seq[Float] =>
+      val b = qB.value
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      while (d < a.length) {
+        val x = a(d).toDouble; val y = b(d).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        d += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     emb.filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), col("label"), col("embedding").as("a"))
-      .crossJoin(broadcast(q)) // one k-element row — broadcast is the right call
-      .withColumn("cos", round(dotCols / (norm("a") * norm("b")), 6))
-      .select(col("vec_id"), col("label"), col("cos"))
+      .select(col("vec_id"), col("label"), round(cosQ(col("embedding")), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -121,17 +148,13 @@ object Similarity {
       return emb.limit(0).select(col("vec_id").as("a"), col("vec_id").as("b"),
         lit(0).as("bucket"), lit(0.0).as("cos")))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      Hyperplanes.bucketCol(col("embedding"), cfg.sigBits, dim).as("bucket"))
+      Hyperplanes.bucketUdf(cfg.sigBits, dim)(col("embedding")).as("bucket"))
     val x = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
     val y = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
     x.join(y, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(ea, eb, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
-      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      // compiled kernel replaces the interpreted HOF fold; identical FP
+      // shape — dot / (sqrt(na)·sqrt(nb)) over dim-ascending double sums
+      .withColumn("cos", cosineUdf(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("bucket"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "b")
@@ -154,7 +177,7 @@ object Similarity {
       return emb.limit(0).select(lit(0).as("bucket"), lit(0L).as("n"),
         col("vec_id").as("min_vec")))
     emb.select(col("vec_id"),
-        Hyperplanes.bucketCol(col("embedding"), cfg.sigBits, dim).as("bucket"))
+        Hyperplanes.bucketUdf(cfg.sigBits, dim)(col("embedding")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
       .orderBy("bucket")
   }

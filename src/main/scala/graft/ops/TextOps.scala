@@ -16,7 +16,7 @@ object TextOps {
     documents.select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
-        size(Dedup.toks(col("text"))).as("re_tokens"),
+        size(Dedup.toksC(col("text"))).as("re_tokens"),
         length(col("text")).as("n_chars_computed"),
         col("n_chars"))
       .orderBy("doc_id")
@@ -29,7 +29,7 @@ object TextOps {
     * training-data-pipeline extension). */
   def qualityScore(documents: DataFrame): DataFrame =
     documents
-      .withColumn("toks", Dedup.toks(col("text")))
+      .withColumn("toks", Dedup.toksC(col("text")))
       .withColumn("n", size(col("toks")).cast("double"))
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isin("the", "a", "of", "to", "and", "in", "is", "it", "on", "for"))).cast("double"))
@@ -56,7 +56,7 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "est", "les"))
 
   def langId(documents: DataFrame): DataFrame = {
-    val withToks = documents.withColumn("toks", Dedup.toks(col("text")))
+    val withToks = documents.withColumn("toks", Dedup.toksC(col("text")))
     val scored = LangStops.foldLeft(withToks) { case (df, (lang, stops)) =>
       df.withColumn(s"s_$lang",
         size(filter(col("toks"), t => t.isin(stops: _*))).cast("double") /
@@ -250,7 +250,7 @@ object TextOps {
     * path. */
   def dupWindowCoverage(documents: DataFrame, window: Int): DataFrame =
     dupCoverageOf(documents,
-      Dedup.windowStrings(window)(Dedup.toks(col("text"))), window)
+      Dedup.windowStrings(window)(Dedup.toksC(col("text"))), window)
 
   /** [[dupWindowCoverage]] over xxhash64 window FINGERPRINTS instead of
     * window strings — the 100 TB form (the heavy shuffle carries 8 bytes
@@ -262,7 +262,7 @@ object TextOps {
     * OpsSpec asserts row-for-row parity of the two forms. */
   def dupWindowCoverageFast(documents: DataFrame, window: Int): DataFrame =
     dupCoverageOf(documents,
-      Dedup.windowHashes(window)(Dedup.toks(col("text"))), window)
+      Dedup.windowHashes(window)(Dedup.toksC(col("text"))), window)
 
   private def dupCoverageOf(documents: DataFrame, windowsCol: org.apache.spark.sql.Column,
                             window: Int): DataFrame = {
@@ -321,8 +321,8 @@ object TextOps {
     * pipeline over xxhash64 key fingerprints; this string form is the
     * oracle-exact gate path. */
   def lmScore(train: DataFrame, documents: DataFrame): DataFrame = {
-    val bigrams = Dedup.windowStrings(2)(Dedup.toks(col("text")))
-    val trainToks = train.select(explode(Dedup.toks(col("text"))).as("term"))
+    val bigrams = Dedup.windowStrings(2)(Dedup.toksC(col("text")))
+    val trainToks = train.select(explode(Dedup.toksC(col("text"))).as("term"))
     val c1 = trainToks.groupBy("term").agg(count(lit(1)).as("c1"))
     val c2 = train.select(explode(bigrams).as("big"))
       .groupBy("big").agg(count(lit(1)).as("c2"))
@@ -347,7 +347,7 @@ object TextOps {
     * for V distinct keys). The gate keeps the string form so the DuckDB
     * oracle compares exact text; OpsSpec asserts row-for-row parity. */
   def lmScoreFast(train: DataFrame, documents: DataFrame): DataFrame = {
-    val toks = Dedup.toks(col("text"))
+    val toks = Dedup.toksC(col("text"))
     val trainTerms = train.select(explode(toks).as("term"))
       .select(xxhash64(col("term")).as("term"))
     val c1 = trainTerms.groupBy("term").agg(count(lit(1)).as("c1"))
@@ -370,22 +370,34 @@ object TextOps {
   private def scoreBigrams(documents: DataFrame, big: DataFrame,
                            c1p: DataFrame, c1c: DataFrame,
                            total: DataFrame): DataFrame = {
-    // a train bigram implies prev is in the train vocab: inner join is safe
-    val hits = big.where(col("c2").isNotNull)
-      .join(c1p, Seq("prev"))
-      .select(col("doc_id"),
-        round(lit(1000000.0) * col("c2") / col("c1p")).cast("long").as("p_micro"),
-        lit(1L).as("hit"), lit(0L).as("oov"))
-    val misses = big.where(col("c2").isNull)
+    // ONE pass over the bigram rows: both count tables left-join onto `big`
+    // once and the three-way branch is a when() chain. The previous shape
+    // split hits (c2 not null) and misses (c2 null) into two branches of a
+    // union, so the heaviest subtree — the documents scan, the bigram
+    // explode and the c2 join — executed TWICE (round-5 ADVICE). Branch
+    // semantics are unchanged on the string path (a train bigram implies
+    // prev is in the train vocab, so `c2 != null ⇒ c1p != null` and the
+    // first branch is exactly the old hits inner join). On the fingerprint
+    // path ([[lmScoreFast]]) a 64-bit collision where a scored bigram's
+    // fingerprint matches a train bigram while prev is absent from the
+    // train vocab now falls through to the BACKOFF branch instead of
+    // silently dropping the row (shrinking n_bigrams) — collisions can
+    // only perturb p_micro, never row counts (the other round-5 ADVICE
+    // item on this function).
+    val per = big
+      .join(c1p, Seq("prev"), "left")
       .join(c1c, Seq("cur"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
-        when(col("c1c").isNotNull,
-          round(lit(400000.0) * col("c1c") / col("t_total")).cast("long"))
+        when(col("c2").isNotNull && col("c1p").isNotNull,
+          round(lit(1000000.0) * col("c2") / col("c1p")).cast("long"))
+          .when(col("c1c").isNotNull,
+            round(lit(400000.0) * col("c1c") / col("t_total")).cast("long"))
           .otherwise(lit(0L)).as("p_micro"),
-        lit(0L).as("hit"),
+        when(col("c2").isNotNull && col("c1p").isNotNull, lit(1L))
+          .otherwise(lit(0L)).as("hit"),
         when(col("c1c").isNull, lit(1L)).otherwise(lit(0L)).as("oov"))
-    val per = hits.unionByName(misses).groupBy("doc_id").agg(
+      .groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       sum("hit").as("n_hit"),
       sum("oov").as("n_oov"),
@@ -433,7 +445,7 @@ object TextOps {
       .select(col("doc_id"),
         // null text counts 0 tokens (size(null) would be -1)
         when(col("text").isNull, lit(0L))
-          .otherwise(size(Dedup.toks(col("text"))).cast("long")).as("n_tokens"))
+          .otherwise(size(Dedup.toksC(col("text"))).cast("long")).as("n_tokens"))
     // the pin is LOAD-BEARING: pass 2 executes when the caller does, and an
     // unpinned re-execution of repartitionByRange could re-sample different
     // range boundaries than pass 1 based its offsets on (see DocIds
@@ -449,7 +461,7 @@ object TextOps {
       .repartitionByRange(p, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: partInfo's collect below materializes it
     val partInfo = sorted.mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {

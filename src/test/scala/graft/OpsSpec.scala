@@ -624,4 +624,91 @@ class OpsSpec extends SparkFunSuite {
     val byKey = sorted.sortBy(x => (x._2, x._3)).map(_._1)
     assert(byKey.toSeq == byKey.toSeq.sorted)
   }
+
+  // ---- round-6 compiled-kernel parity (each optimization that replaced a
+  // declarative pipeline must produce bit-identical values) ----
+
+  test("toksC / tokenSetC == the declarative token columns (corpus + edges)") {
+    val edge = Seq(
+      (9990L, null.asInstanceOf[String]), (9991L, ""), (9992L, "   \t\n "),
+      (9993L, "A b CC d1 " + "x" * 41 + " ok 0x00 42 ZZZ___mix-9"),
+      (9994L, "ONE one One оне 中文 one1")).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionAll(edge)
+    both.select(
+        Dedup.toks(col("text")).as("a"), Dedup.toksC(col("text")).as("b"),
+        array_sort(array_distinct(Dedup.toks(col("text")))).as("c"),
+        Dedup.tokenSetC(col("text")).as("d"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getSeq[String](0) == r.getSeq[String](1))
+        assert(r.isNullAt(2) == r.isNullAt(3))
+        if (!r.isNullAt(2)) assert(r.getSeq[String](2) == r.getSeq[String](3))
+      }
+  }
+
+  test("simhashSigs compiled kernel == the declarative explode pipeline (32/60-bit)") {
+    import org.apache.spark.sql.Column
+    def declarative(bits: Int, h: Column => Column) = docs
+      .select(col("doc_id"), explode(Dedup.toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", h(col("term")))
+      .select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .withColumn("w", expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN tf ELSE -tf END"))
+      .groupBy("doc_id", "b").agg(sum("w").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrow = Dedup.simhashSigs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow == declarative(32, Dedup.h32))
+    val wide = Dedup.simhashSigs(docs, bits = 60, hexChars = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == declarative(60, Dedup.h60))
+  }
+
+  test("minhash signature kernel == the declarative explode + 16-column min-agg") {
+    // Dedup.minhash keeps the declarative per-doc pipeline; the LSH path now
+    // computes the same signatures with the compiled kernel per token set
+    val declarative = Dedup.minhash(docs).collect()
+      .map(r => r.getLong(0) -> (0 until Dedup.NumHashes).map(j => r.getLong(1 + j))).toMap
+    val viaKernel = docs
+      .select(col("doc_id"), Dedup.tokenSetC(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .as[(Long, Array[String])]
+      .map { case (id, ts) => (id, Dedup.minhashOfTerms(ts)) }
+      .collect().map { case (id, mhs) => id -> mhs.toSeq }.toMap
+    assert(viaKernel == declarative)
+  }
+
+  test("Hyperplanes.bucketUdf == the declarative bucketCol") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    emb.select(
+        graft.ops.Hyperplanes.bucketCol(col("embedding"), Similarity.SigBits, dim).as("a"),
+        graft.ops.Hyperplanes.bucketUdf(Similarity.SigBits, dim)(col("embedding")).as("b"))
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("cosineTopK compiled kernel matches the driver-side double fold exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb(0L)
+    def cosOf(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < a.length) {
+        val x = a(d).toDouble; val y = b(d).toDouble
+        dot += x * y; na += x * x; nb += y * y; d += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.cosineTopK(spark, sf, 0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (id, c) =>
+      assert(c == BigDecimal(cosOf(emb(id), q)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"vec $id")
+    }
+  }
 }
