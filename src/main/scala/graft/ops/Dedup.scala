@@ -189,7 +189,8 @@ object Dedup {
                    blocks: Option[Int] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    exactPairsOfSets[Array[String]](tokenSets(documents), threshold, blocks, jaccardOf)
+    exactPairsOfSets[Array[String]](tokenSets(documents), threshold, blocks, jaccardOf,
+      _.length)
   }
 
   /** Word-n-gram (shingle) Jaccard near-dup pairs — exact up to 64-bit
@@ -215,7 +216,7 @@ object Dedup {
     import spark.implicits._
     val sets = documents.select(col("doc_id"),
       shingleHashes(n)(toksC(col("text"))).as("ts"))
-    exactPairsOfSets[Array[Long]](sets, threshold, blocks, jaccardOfLongs)
+    exactPairsOfSets[Array[Long]](sets, threshold, blocks, jaccardOfLongs, _.length)
   }
 
   /** Sorted distinct 64-bit shingle fingerprints as a COMPILED UDF. Value-
@@ -316,7 +317,8 @@ object Dedup {
   }
 
   private def exactPairsOfSets[S](setsDf: DataFrame, threshold: Double,
-                                  blocks: Option[Int], jac: (S, S) => Double)(
+                                  blocks: Option[Int], jac: (S, S) => Double,
+                                  lenOf: S => Int)(
       implicit tagEnc: org.apache.spark.sql.Encoder[(Int, Int, S, Array[Long])],
       setEnc: org.apache.spark.sql.Encoder[(S, Array[Long])]): DataFrame = {
     val spark = setsDf.sparkSession
@@ -347,6 +349,14 @@ object Dedup {
       .flatMapSortedGroups($"_2") { (pid: Int, it: Iterator[(Int, Int, S, Array[Long])]) =>
         val i = pid / B
         def pairsOf(x: (S, Array[Long]), y: (S, Array[Long])): Iterator[(Long, Long, Double)] = {
+          // size bound (the AllPairs filter jaccardPairsPrefix applies
+          // declaratively): J = |∩|/|∪| ≤ min(|x|,|y|)/max(|x|,|y|), so a
+          // size-mismatched pair can never reach the threshold — an O(1)
+          // reject that skips the O(len) merge for most of the cartesian.
+          // 1e-9 slack guards the FP product like the prefix filter; any
+          // false keep is re-filtered by the exact jv < thr check below.
+          val lx = lenOf(x._1); val ly = lenOf(y._1)
+          if (math.min(lx, ly) < thr * math.max(lx, ly) - 1e-9) return Iterator.empty
           val jv = jac(x._1, y._1)
           if (jv < thr) Iterator.empty
           else for { da <- x._2.iterator; db <- y._2.iterator }
