@@ -18,6 +18,15 @@ trait Analyzer extends Serializable {
   def tokens(text: String): Seq[String]
   /** Column form: array<string> of the same tokens, same order. */
   def tokensCol(c: Column): Column
+  /** Compiled column form: the same tokens via a UDF over [[tokens]].
+    * Value-identical to [[tokensCol]] (AnalyzerSpec asserts the two
+    * agree), but Spark evaluates tokensCol's higher-order filter lambdas
+    * interpreted per element — build-hot scans (norms dl, corpus avgdl)
+    * use this compiled twin instead. */
+  lazy val tokensUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val self = this
+    org.apache.spark.sql.functions.udf((s: String) => self.tokens(s))
+  }
   /** Stable config identity (rides into the index buildId so a field whose
     * analyzer changed is rebuilt, not resumed). */
   def spec: String = getClass.getSimpleName.stripSuffix("$")

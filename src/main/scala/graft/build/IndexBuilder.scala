@@ -129,7 +129,7 @@ object IndexBuilder {
   def corpusAvgdl(docs: DataFrame,
                   analyzers: Map[String, Analyzer] = Analyzers.byField): Map[String, Double] = {
     val fields = fieldsOf(analyzers)
-    val aggs = fields.map(f => avg(size(analyzers(f).tokensCol(col(f)))).as(f))
+    val aggs = fields.map(f => avg(size(analyzers(f).tokensUdf(col(f)))).as(f))
     val row = docs.select(aggs: _*).collect()(0)
     fields.zipWithIndex.map { case (f, i) => f -> row.getDouble(i) }.toMap
   }
@@ -235,7 +235,7 @@ object IndexBuilder {
           lit(f).as("field"),
           (col("docId") / cfg.chunkDocs).cast("long").as("chunk"),
           col("docId"),
-          size(analyzers(f).tokensCol(col(f))).as("dl"))
+          size(analyzers(f).tokensUdf(col(f))).as("dl"))
       }.reduce(_ unionAll _)
       dlRows.as[(String, Long, Long, Int)]
         .groupByKey(r => (r._1, r._2))

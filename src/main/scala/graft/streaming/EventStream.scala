@@ -87,14 +87,19 @@ object EventStream {
       return spark.range(0).select(lit("").as("hour"), lit("").as("event_type"),
         lit(0L).as("n"), lit(0.0).as("sum_value"))
     val boundary = hours(hours.length / 2)
-    def writeBatch(name: String, df: DataFrame): Unit = {
-      // parallel write (no coalesce(1) single-task stage over the whole
-      // table), then move every part into the source dir. A batch is only
-      // ever landed while NO query is running (see below), so the
-      // non-atomic multi-file move cannot be half-read
-      val stage = s"$base/stage-$name"
-      df.write.mode("overwrite").parquet(stage)
-      new java.io.File(stage).listFiles()
+    // BOTH batches staged in ONE partitioned write (a per-batch write ran
+    // the events scan twice — guide §2.4, one pass instead of two); the
+    // partitionBy flag column is layout-only and is not written into the
+    // parquet schema. Files still land in the SOURCE dir one batch at a
+    // time, only while NO query is running (see below), so the non-atomic
+    // multi-file move cannot be half-read.
+    val stage = s"$base/stage"
+    ev.withColumn("b",
+        when(col("ts") < lit(boundary), "b1").otherwise("b2"))
+      .write.mode("overwrite").partitionBy("b").parquet(stage)
+    def landBatch(name: String): Unit = {
+      val dir = new java.io.File(s"$stage/b=$name")
+      Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (part, i) =>
           java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(src, s"$name-$i.parquet"))
         }
@@ -115,9 +120,9 @@ object EventStream {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      writeBatch("b1", ev.filter(col("ts") < lit(boundary)))
+      landBatch("b1")
       runBatch()
-      writeBatch("b2", ev.filter(col("ts") >= lit(boundary)))
+      landBatch("b2")
       runBatch()
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.read.schema("hour STRING, event_type STRING, n BIGINT, sum_value DOUBLE")
