@@ -970,13 +970,22 @@ object Dedup {
     * MinHashLSH→connected-components pipeline. */
   def keepersFromPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = components(pairs)
-    val assigned = documents.select(col("doc_id"))
+    // component sizes from the COMPONENTS frame, not from the assigned
+    // corpus: comp holds exactly the non-singleton vertices, so counting
+    // labels there gives every multi-member keeper's size, and every doc
+    // absent from comp is its own singleton (n_members = 1). The previous
+    // shape re-shuffled ALL docs through groupBy(keeper) + a join back —
+    // two full-corpus exchanges for counts already derivable from the
+    // (duplicates-only) label table (guide §2.3: aggregate the small
+    // thing, not the corpus).
+    val compSizes = comp.groupBy("lbl").agg(count(lit(1)).as("n_lbl"))
+    documents.select(col("doc_id"))
       .join(comp.select(col("v").as("doc_id"), col("lbl").as("k0")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("k0"), col("doc_id")).as("keeper"))
-    val sizes = assigned.groupBy("keeper").agg(count(lit(1)).as("n_members"))
-    assigned.join(sizes, "keeper")
+      .join(compSizes.withColumnRenamed("lbl", "keeper"), Seq("keeper"), "left")
       .select(col("doc_id"), col("keeper"),
-        (col("doc_id") === col("keeper")).as("is_keeper"), col("n_members"))
+        (col("doc_id") === col("keeper")).as("is_keeper"),
+        coalesce(col("n_lbl"), lit(1L)).as("n_members"))
       .orderBy("doc_id")
   }
 

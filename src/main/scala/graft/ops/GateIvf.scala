@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 object GateIvf {
 
   /** Bump on ANY change to IVF seeding, assignment, or layout. */
-  private val Version = 2
+  private val Version = 3
 
   private val cache = new ConcurrentHashMap[String, (String, Array[(Int, Array[Float])])]()
 
@@ -48,6 +48,7 @@ object GateIvf {
         else {
           graft.FsUtil.deleteRecursively(new java.io.File(dir))
           graft.FsUtil.deleteRecursively(new java.io.File(s"$dir-centroids"))
+          new java.io.File(s"$dir-centroids.bin").delete()
           stampFile.delete()
           val cents = IvfIndex.build(spark, emb, dir, k)
           java.nio.file.Files.createDirectories(stampFile.toPath.getParent)

@@ -150,18 +150,55 @@ object IvfIndex {
       // shuffle each task owns a few whole lists and writes k files total
       .repartition(col("centroid"))
       .write.mode("overwrite").partitionBy("centroid").parquet(dir)
-    import spark.implicits._
-    cents.toSeq.toDF("cid", "vec")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir-centroids")
+    writeCentroids(dir, cents)
     cents
+  }
+
+  /** Persist the quantizer as a flat binary sidecar, written and read
+    * driver-side: the quantizer is driver-resident k×dim data (it already
+    * rides the assignment broadcast), so a Spark write job + a Spark read
+    * job per build/load — two full job launches for ≤ a few MB — was pure
+    * overhead. Format: magic, k, then per centroid (cid, dim, floats).
+    * Atomic via write-temp + rename. */
+  private val CentroidsMagic = 0x49564643 // "IVFC"
+
+  private[graft] def writeCentroids(dir: String, cents: Array[(Int, Array[Float])]): Unit = {
+    val target = new java.io.File(s"$dir-centroids.bin")
+    val tmp = new java.io.File(s"$dir-centroids.bin.tmp")
+    Option(target.getParentFile).foreach(_.mkdirs())
+    val o = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp)))
+    try {
+      o.writeInt(CentroidsMagic)
+      o.writeInt(cents.length)
+      cents.foreach { case (cid, v) =>
+        o.writeInt(cid); o.writeInt(v.length)
+        v.foreach(o.writeFloat)
+      }
+    } finally o.close()
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Reload the quantizer persisted by build() — query-side probing must use
     * the centroids the lists were built with, not a recomputation. */
-  def loadCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
-    spark.read.parquet(s"$dir-centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+  def loadCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] = {
+    val f = new java.io.File(s"$dir-centroids.bin")
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f)))
+    try {
+      require(in.readInt() == CentroidsMagic, s"bad centroid sidecar at $f")
+      val k = in.readInt()
+      Array.fill(k) {
+        val cid = in.readInt()
+        val d = in.readInt()
+        val v = new Array[Float](d)
+        var i = 0
+        while (i < d) { v(i) = in.readFloat(); i += 1 }
+        (cid, v)
+      }.sortBy(_._1)
+    } finally in.close()
+  }
 
   /** Driver-side assignment of one vector (same fold order as assignCol). */
   def nearestCentroids(v: Array[Float], cents: Array[(Int, Array[Float])], nprobe: Int): Seq[Int] =

@@ -29,11 +29,7 @@ object IvfProbe {
       assigned.repartition(col("centroid"))
         .write.mode("overwrite").partitionBy("centroid").parquet(dir)
     }
-    t("centroids-write") {
-      import spark.implicits._
-      cents.toSeq.toDF("cid", "vec").repartition(1)
-        .write.mode("overwrite").parquet(s"$dir-centroids")
-    }
+    t("centroids-write")(graft.ops.IvfIndex.writeCentroids(dir, cents))
     t("gate-query") {
       spark.read.parquet(dir)
         .groupBy("centroid").agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
