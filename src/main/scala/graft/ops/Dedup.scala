@@ -485,7 +485,11 @@ object Dedup {
     * which case the OUTPUT itself is quadratic. */
   def jaccardPairsPrefix(documents: DataFrame, threshold: Double): DataFrame = {
     val spark = documents.sparkSession
-    val groups = setGroups(documents)
+    // pinned for the same cross-execution reason as lshPairsOfGroups: the
+    // prefix/candidate chain (plan-time verify materialization) and the
+    // run query's verify join + sameSetPairs would otherwise each re-run
+    // the tokenize + groupBy(ts) aggregation
+    val groups = setGroups(documents).localCheckpoint(false)
     val tok = groups.select(col("sid"), explode(col("ts")).as("term"))
     val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
     // prefix per set, sorted by (df, term); the 1e-9 slack keeps a binary-FP
@@ -789,23 +793,26 @@ object Dedup {
     val spark = groups.sparkSession
     import spark.implicits._
     val incremental = freshFrom != Long.MinValue
+    // PIN the set-group table (lazy localCheckpoint, materialized by the
+    // verify's candidate job): it is consumed by the signature map here AND
+    // by the verify join + sameSetPairs in the later run query, and
+    // ReusedExchange only deduplicates within ONE query execution — across
+    // the plan-time candidate materialization and the run, the unpinned
+    // tokenize + groupBy(ts) aggregation executed twice per call (a second
+    // full corpus pass at scale; SignatureStore persists exactly this table
+    // for the same reason). Also makes the incremental band join's
+    // fresh-filtered y side a cheap block re-scan, so no separate signature
+    // pin is needed.
+    val g = groups.localCheckpoint(false)
     // signature + fresh flag in ONE narrow pass over the group rows: no
     // token explode, no groupBy(sid) re-shuffle, no separate fresh join
     // (members are sorted ascending — last = max member). The fresh column
     // is constant-true when not incremental and simply unused.
     val ff = freshFrom
-    val mh0 = groups.select(col("sid"), col("ts"), col("members"))
+    val mh = g.select(col("sid"), col("ts"), col("members"))
       .as[(Long, S, Array[Long])]
       .map { case (sid, ts, members) => (sid, mhsOf(ts), members.last >= ff) }
       .toDF("sid", "mhs", "fresh")
-    // non-incremental: the band self-join's two sides are the IDENTICAL
-    // subtree, so ReusedExchange computes the signature kernel once. In
-    // incremental mode the y side filters to fresh rows — a different
-    // subtree, which would re-run tokenize+group+kernel per side; a lazy
-    // localCheckpoint pins the (sid, 16×long, bool) rows at first use
-    // instead (the same signatures a production run persists in
-    // SignatureStore).
-    val mh = if (incremental) mh0.localCheckpoint(false) else mh0
     val cand = bandCandidates(mh, incremental)
 
     // CANDIDATE-DRIVEN block-local verify (shared verifyCandidatePairsOf):
@@ -817,8 +824,8 @@ object Dedup {
     // threshold where candidates are rare). Joining the array columns onto
     // candidate ROWS instead (round-1 shape) deserializes the arrays once
     // PER PAIR — measured 7× slower.
-    val pairs = verifyCandidatePairsOf[S](groups, cand, threshold, jac)
-      .unionAll(sameSetPairs(groups))
+    val pairs = verifyCandidatePairsOf[S](g, cand, threshold, jac)
+      .unionAll(sameSetPairs(g))
     // incremental semantic filter: a fresh-flagged GROUP may still expand to
     // stale×stale member pairs (the flag is any-member-fresh), and same-set
     // pairs are unflagged — a<b makes "involves a fresh doc" exactly
